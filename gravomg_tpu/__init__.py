@@ -1,0 +1,52 @@
+"""gravomg_tpu: a TPU-native geometric multigrid framework.
+
+A ground-up JAX/Pallas rebuild of the capabilities of
+`JacksonCampolattaro/gravo-mg` (hierarchy construction for Gravo MG,
+SIGGRAPH 2023) plus the solver stack the method drives (V-cycles,
+weighted-Jacobi/Chebyshev smoothing, Galerkin RAP, MG-preconditioned CG,
+dense coarse Cholesky).  Everything is fixed-shape, masked, padded array
+code that traces once under jit and scales via vmap/pjit.
+
+Quick start::
+
+    import jax.numpy as jnp
+    from gravomg_tpu import (knn_graph, graph_laplacian, build_hierarchy,
+                             MultigridConfig, solve_poisson)
+
+    graph = knn_graph(points, k=32)
+    lap, mass = graph_laplacian(graph)
+    h = build_hierarchy(graph, lap, MultigridConfig())
+    x, rel, iters = solve_poisson(h, b)
+"""
+
+from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
+                               Prolongation, TriangleSet, INVALID_INDEX)
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.geometry.transforms import scale_mesh
+from gravomg_tpu.geometry.knn import knn_graph, graph_from_edges
+from gravomg_tpu.geometry.laplacian import (cotan_laplacian, extract_edges,
+                                            graph_laplacian,
+                                            to_edge_distance_graph)
+from gravomg_tpu.coarsen.sampling import (average_edge_length,
+                                          fast_disc_sample,
+                                          fast_disc_sample_mask,
+                                          sampling_radius)
+from gravomg_tpu.coarsen.parents import assign_parents
+from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
+from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
+from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
+from gravomg_tpu.prolong.operator import (BARYCENTRIC, INVDIST, UNIFORM,
+                                          construct_prolongation,
+                                          projected_points, prolong,
+                                          restrict)
+from gravomg_tpu.solve.spmv import spmv, residual
+from gravomg_tpu.solve.rap import galerkin_rap
+from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
+                                         weighted_jacobi)
+from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel, solve,
+                                      v_cycle)
+from gravomg_tpu.solve.cg import mg_pcg, pcg
+from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,
+                                   coarsen_once)
+
+__version__ = "0.1.0"

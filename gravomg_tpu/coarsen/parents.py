@@ -1,0 +1,78 @@
+"""Fine-to-coarse parent assignment: graph Voronoi clustering.
+
+Reference C6 ``assignParents`` (`src/multigrid.cpp:77-125`) runs a
+multi-source Dijkstra with a binary heap, seeded at each coarse sample
+with distance 0 and parent = the sample's *coarse-side* index
+(`src/multigrid.cpp:89-93`), relaxing with Euclidean edge lengths
+recomputed from positions (`src/multigrid.cpp:107`).
+
+The TPU-native equivalent (SURVEY.md CS-3) is iterated masked gather-min
+relaxation (Bellman-Ford / label propagation) to a fixpoint: each sweep
+is one fixed-shape (V, K) gather + min-reduce, and convergence takes
+O(cell hop-diameter) sweeps -- small, since cells have radius on the
+order of the sampling radius.  The fixpoint is the same shortest-path
+Voronoi partition Dijkstra computes; exact-arithmetic distance ties
+(measure-zero for generic point clouds) are broken toward the
+lowest-index neighbor slot.
+
+The reference's missing stale-entry skip (`src/multigrid.cpp:96-101`) is
+pure redundant work with no semantic effect (SURVEY.md §2.1-C6) and is
+not replicated.  Unreached vertices keep parent 0, matching the
+reference's default initialization (`src/multigrid.cpp:82`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import Graph
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def assign_parents(graph: Graph, coarse_samples: jax.Array,
+                   max_sweeps: int = 10_000) -> Tuple[jax.Array, jax.Array]:
+    """Compute the nearest coarse parent of every fine vertex.
+
+    Args:
+      graph: fine-level graph.
+      coarse_samples: (C,) int32 fine-vertex ids of the coarse seeds,
+        ascending (output of fast_disc_sample).
+
+    Returns:
+      (parents (V,) int32 in [0, C), distances (V,) float): the coarse
+      index of the shortest-path-nearest seed and the path length.
+    """
+    v = graph.num_vertices
+    nbr = graph.safe_neighbors()
+    m = graph.mask
+    d = jnp.where(m, graph.distances, jnp.inf)
+
+    dist0 = jnp.full((v,), jnp.inf, graph.distances.dtype)
+    dist0 = dist0.at[coarse_samples].set(0.0)
+    par0 = jnp.zeros((v,), jnp.int32)
+    par0 = par0.at[coarse_samples].set(
+        jnp.arange(coarse_samples.shape[0], dtype=jnp.int32))
+
+    def sweep(state):
+        dist, par, changed, it = state
+        cand = dist[nbr] + d                    # (V, K) path via neighbor
+        best_k = jnp.argmin(cand, axis=1)       # first min slot on ties
+        best = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
+        best_par = par[jnp.take_along_axis(nbr, best_k[:, None],
+                                           axis=1)[:, 0]]
+        improved = best < dist
+        return (jnp.where(improved, best, dist),
+                jnp.where(improved, best_par, par),
+                jnp.any(improved), it + 1)
+
+    def cond(state):
+        _, _, changed, it = state
+        return changed & (it < max_sweeps)
+
+    dist, par, _, _ = jax.lax.while_loop(
+        cond, sweep, (dist0, par0, jnp.bool_(True), jnp.int32(0)))
+    return par, dist

@@ -1,0 +1,139 @@
+"""Coarse-node selection: fast disc sampling, TPU-native.
+
+Reference C4 ``fastDiscSample`` (`src/sampling.cpp:7-53`, decl
+`include/gravomg/sampling.h:14-18`) is a sequential greedy scan: visit
+vertices in index order, select if not yet covered, and mark as covered
+every 1-hop neighbor within ``radius`` plus every 2-hop neighbor whose
+summed hop distance is under ``radius`` (`src/sampling.cpp:31-46`).
+
+**Equivalence theorem used here** (SURVEY.md CS-4): define the conflict
+relation  i ~ j  iff  d(i,j) < r  with (i,j) a graph edge, or there is a
+common graph neighbor n with d(i,n) + d(n,j) < r.  Both clauses are
+symmetric (the 2-hop sum is direction-independent and a sum < r implies
+each hop < r, so the intermediate vertex is scanned from either side).
+The reference's greedy output is then exactly the *lexicographically
+first maximal independent set* of the conflict graph: a vertex is
+selected iff no smaller-indexed selected vertex conflicts with it.  That
+fixpoint is computable by deterministic parallel rounds (each round
+decides every vertex whose smaller-indexed conflict neighbors are all
+decided), which converges in O(longest dependency chain) fixed-shape
+sweeps -- bit-identical to the sequential scan, with no sequential loop
+over vertices.
+
+The dead ``distances`` / ``nearest_source`` allocations of the reference
+(`src/sampling.cpp:15-17`) are intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import Graph
+
+_UNDECIDED, _SELECTED, _REJECTED = 0, 1, 2
+
+
+def average_edge_length(graph: Graph) -> jax.Array:
+    """Reference C5 ``averageEdgeLength`` (`src/multigrid.cpp:127-133`).
+
+    The reference divides the summed edge lengths by (nnz - V), i.e. it
+    subtracts the one zero-length self-loop per vertex its edge matrix
+    carries (comment at `src/multigrid.cpp:132`).  Our ELL graph stores no
+    self-loops, so this is simply the masked mean; both directions of each
+    undirected edge are counted, exactly as in the reference.
+    """
+    mask = graph.mask
+    total = jnp.sum(jnp.where(mask, graph.distances, 0.0))
+    return total / jnp.sum(mask)
+
+
+def sampling_radius(graph: Graph, reduction_ratio: float = 2.0) -> jax.Array:
+    """Demo convention: radius = cbrt(ratio) * mean edge length
+    (`test/main.cpp:23,74`).  The cube-root law is a tunable, per the
+    reference's own `todo` at `test/main.cpp:23`."""
+    return jnp.cbrt(reduction_ratio) * average_edge_length(graph)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds", "chunk"))
+def fast_disc_sample_mask(graph: Graph, radius: jax.Array,
+                          max_rounds: int = 4096,
+                          chunk: int = 8192) -> jax.Array:
+    """Greedy Poisson-disc selection mask, parallel lex-first-MIS rounds.
+
+    Returns a (V,) bool mask; `mask.nonzero()` (ascending) equals the
+    reference's selection list, which is also emitted in ascending vertex
+    order (`src/sampling.cpp:22-28`).
+
+    The (V, K, K) two-hop conflict tensor is never materialized globally:
+    each round recomputes it per ``chunk`` rows of vertices, keeping peak
+    memory O(chunk * K^2) regardless of V.  Termination is guaranteed:
+    dependencies point strictly toward smaller indices, so the smallest
+    undecided vertex is decidable every round.
+    """
+    nbr = graph.safe_neighbors()
+    m = graph.mask
+    d = graph.distances
+    v, k = nbr.shape
+    vpad = ((v + chunk - 1) // chunk) * chunk
+    pad = vpad - v
+    nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)))
+    m_p = jnp.pad(m, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    idx_p = jnp.arange(vpad, dtype=jnp.int32)
+
+    def round_body(state):
+        status, _, it = state
+
+        def per_chunk(c0):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk, chunk)
+            cn, cm, cd, cidx = sl(nbr_p), sl(m_p), sl(d_p), sl(idx_p)
+            low1 = cm & (cd < radius) & (cn < cidx[:, None])
+            nn = jnp.where(cm[:, :, None], nbr[cn], 0)
+            nn_mask = cm[:, :, None] & m[cn]
+            d2 = cd[:, :, None] + jnp.where(nn_mask, d[cn], jnp.inf)
+            low2 = nn_mask & (d2 < radius) & (nn < cidx[:, None, None])
+            s1 = status[cn]
+            s2 = status[nn]
+            sel_lower = (jnp.any(low1 & (s1 == _SELECTED), axis=1)
+                         | jnp.any(low2 & (s2 == _SELECTED), axis=(1, 2)))
+            undec_lower = (jnp.any(low1 & (s1 == _UNDECIDED), axis=1)
+                           | jnp.any(low2 & (s2 == _UNDECIDED), axis=(1, 2)))
+            cstat = status[cidx]
+            undecided = cstat == _UNDECIDED
+            return jnp.where(
+                undecided & sel_lower, _REJECTED,
+                jnp.where(undecided & ~undec_lower, _SELECTED,
+                          cstat)).astype(jnp.int8)
+
+        new_status = jax.lax.map(
+            per_chunk, jnp.arange(vpad // chunk)).reshape(vpad)[:v]
+        return new_status, status, it + 1
+
+    def cond(state):
+        status, prev, it = state
+        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
+                & (it < max_rounds))
+
+    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
+            jnp.int32(0))
+    status, _, _ = jax.lax.while_loop(cond, round_body, init)
+    return status == _SELECTED
+
+
+def fast_disc_sample(graph: Graph, radius, max_samples: int | None = None):
+    """Host-facing wrapper: returns ascending selected indices (NumPy).
+
+    Matches the return convention of the reference (`sampling.h:14-18`).
+    The count is data-dependent, so this syncs to host -- hierarchy
+    construction is staged (SURVEY.md §7); all solver paths stay jitted.
+    """
+    import numpy as np
+
+    mask = np.asarray(fast_disc_sample_mask(graph, radius))
+    sel = np.nonzero(mask)[0].astype(np.int32)
+    if max_samples is not None:
+        sel = sel[:max_samples]
+    return sel

@@ -1,0 +1,32 @@
+"""Configuration for hierarchy construction and solving.
+
+The reference's knobs are compile-time constants and plain function
+arguments (`test/main.cpp:22-24`: NUM_POINTS / REDUCTION_RATIO / K;
+`radius`, `weighting_scheme`, `scaleRatio` elsewhere) -- SURVEY.md §5
+calls for a small frozen config, not a flag framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from gravomg_tpu.prolong.operator import BARYCENTRIC
+
+
+@dataclasses.dataclass(frozen=True)
+class MultigridConfig:
+    # --- hierarchy construction ---
+    reduction_ratio: float = 2.0      # demo REDUCTION_RATIO (`test/main.cpp:23`)
+    weighting: int = BARYCENTRIC      # Weighting enum (`multigrid.h:12-16`)
+    max_levels: int = 8
+    coarse_threshold: int = 512       # stop coarsening; dense-solve below this
+    # --- smoothing ---
+    smoother: str = "jacobi"          # "jacobi" | "chebyshev"
+    pre_smooth: int = 2
+    post_smooth: int = 2
+    jacobi_omega: float = 2.0 / 3.0
+    chebyshev_degree: int = 4
+    chebyshev_ratio: float = 4.0
+    # --- outer iteration ---
+    tolerance: float = 1e-8           # relative residual target (BASELINE)
+    max_cycles: int = 200

@@ -1,0 +1,146 @@
+"""End-to-end hierarchy construction (reference CS-1, `test/main.cpp:47-186`).
+
+Staged host-side orchestration of the jitted stages: coarse counts are
+data-dependent, so between levels we sync sizes to the host, pick padded
+static shapes, and let every stage trace once per shape bucket
+(SURVEY.md §7).  Padding guesses that overflow are doubled and retried --
+each retry is a new static shape, so the common path compiles once.
+
+Pipeline per level (mirrors `test/main.cpp:68-156`):
+  radius from mean edge length  (C5, `src/multigrid.cpp:127-133`)
+  fast disc sampling            (C4, `src/sampling.cpp:7-53`)
+  parent assignment             (C6, `src/multigrid.cpp:77-125`)
+  coarse edge extraction        (C7, `src/multigrid.cpp:135-169`)
+  coarse point placement        (C8, `src/multigrid.cpp:171-207`)
+  Voronoi triangles             (C9, `src/multigrid.cpp:209-263`)
+  prolongation                  (C12, `src/multigrid.cpp:265-498`)
+  Galerkin RAP                  (solver-side, BASELINE.json)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
+                               Prolongation, TriangleSet)
+from gravomg_tpu.coarsen.sampling import (fast_disc_sample, sampling_radius)
+from gravomg_tpu.coarsen.parents import assign_parents
+from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
+from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
+from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
+from gravomg_tpu.prolong.operator import construct_prolongation
+from gravomg_tpu.solve.rap import galerkin_rap
+from gravomg_tpu.solve.coarse import factor_coarse
+from gravomg_tpu.solve.smoothers import ChebyshevParams
+from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel
+
+
+def _round_up(x: int, m: int = 8) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class LevelData(NamedTuple):
+    """Full record of one coarsening step (fine -> coarse)."""
+    samples: np.ndarray          # (C,) fine ids of coarse seeds
+    parents: jax.Array           # (Vf,)
+    coarse: Graph                # coarse-level graph
+    u: Prolongation
+    stats: HierarchyStats
+
+
+def coarsen_once(graph: Graph, cfg: MultigridConfig,
+                 scheme: Optional[int] = None) -> Optional[LevelData]:
+    """One full coarsening step.  Returns None if the graph no longer
+    coarsens (fewer than 8 coarse points)."""
+    scheme = cfg.weighting if scheme is None else scheme
+    radius = sampling_radius(graph, cfg.reduction_ratio)
+    samples = fast_disc_sample(graph, radius)
+    n_coarse = int(samples.shape[0])
+    if n_coarse < 8 or n_coarse >= graph.num_vertices:
+        return None
+    parents, _ = assign_parents(graph, jnp.asarray(samples))
+
+    # Coarse adjacency with doubling retry on pad overflow.
+    kc = _round_up(min(2 * graph.max_degree, max(n_coarse - 1, 8)))
+    while True:
+        columns, overflow = extract_coarse_edges(graph, parents, n_coarse, kc)
+        if not bool(overflow) or kc >= n_coarse - 1:
+            break
+        kc = min(_round_up(2 * kc), _round_up(n_coarse - 1))
+
+    coarse_points = coarse_from_mean_of_fine_children(
+        graph, parents, jnp.asarray(samples))
+    cg = coarse_graph(columns, coarse_points)
+
+    t_max = _round_up(4 * n_coarse, 64)
+    a_max = _round_up(4 * kc)
+    while True:
+        triangles, overflow = construct_voronoi_triangles(cg, t_max, a_max)
+        if not bool(overflow):
+            break
+        t_max = _round_up(2 * t_max, 64)
+        a_max = _round_up(2 * a_max)
+
+    u, counts = construct_prolongation(
+        graph.points, parents, coarse_points, cg.neighbors, triangles,
+        scheme=scheme)
+    stats = HierarchyStats(
+        n_fine=graph.num_vertices, n_coarse=n_coarse,
+        n_triangles=jnp.sum(triangles.mask),
+        triangle_hits=counts[0], edge_fallbacks=counts[1],
+        point_fallbacks=counts[2], radius=radius)
+    return LevelData(samples=samples, parents=parents, coarse=cg, u=u,
+                     stats=stats)
+
+
+class Hierarchy(NamedTuple):
+    """Geometric hierarchy + solver-ready operator stack."""
+    graphs: Tuple[Graph, ...]            # per level, finest first
+    levels: Tuple[LevelData, ...]        # len == len(graphs) - 1
+    solver: SolverHierarchy
+
+
+def build_hierarchy(graph: Graph, fine_op: EllOperator,
+                    cfg: MultigridConfig = MultigridConfig()) -> Hierarchy:
+    """Build the full multilevel hierarchy from a fine graph + operator."""
+    graphs: List[Graph] = [graph]
+    level_data: List[LevelData] = []
+    ops: List[EllOperator] = [fine_op]
+
+    g = graph
+    op = fine_op
+    for _ in range(cfg.max_levels - 1):
+        if g.num_vertices <= cfg.coarse_threshold:
+            break
+        ld = coarsen_once(g, cfg)
+        if ld is None:
+            break
+        kc2 = _round_up(2 * max(ld.coarse.max_degree, op.max_degree))
+        while True:
+            coarse_op, overflow = galerkin_rap(op, ld.u, kc2)
+            if not bool(overflow) or kc2 >= ld.coarse.num_vertices:
+                break
+            kc2 = min(_round_up(2 * kc2),
+                      _round_up(ld.coarse.num_vertices))
+        level_data.append(ld)
+        graphs.append(ld.coarse)
+        ops.append(coarse_op)
+        g = ld.coarse
+        op = coarse_op
+
+    solver_levels = []
+    for i, o in enumerate(ops):
+        u = level_data[i].u if i < len(level_data) else None
+        cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
+                if cfg.smoother == "chebyshev" else None)
+        solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb))
+    chol = factor_coarse(ops[-1])
+    solver = SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol)
+    return Hierarchy(graphs=tuple(graphs), levels=tuple(level_data),
+                     solver=solver)

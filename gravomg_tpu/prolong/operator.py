@@ -1,0 +1,267 @@
+"""Prolongation-operator assembly -- the heart of the library.
+
+Reference C12 ``constructProlongation`` (`src/multigrid.cpp:265-498`),
+C10 ``inTriangle`` (`src/multigrid.cpp:18-55`), C11 weighting schemes
+(`src/multigrid.cpp:57-75`), C13 ``projectedPoints``
+(`src/multigrid.cpp:500-510`).
+
+Per fine point, with parent p's coarse neighborhood (SURVEY.md §2.1-C12):
+  1. parent has no coarse neighbors  -> single weight 1.0 on the parent
+     (`src/multigrid.cpp:294-299`);
+  2. exactly one neighbor            -> clamped projection onto the
+     parent->neighbor segment (`src/multigrid.cpp:301-334`);
+  3. general: scan the parent's incident Voronoi triangles *in
+     association-list order* and take the FIRST whose plane projection
+     contains the point (the loop breaks on the first hit despite the
+     "minimum distance" framing, `src/multigrid.cpp:374-380`);
+  4. fallback A: the lowest-indexed coarse neighbor whose ``insideEdge``
+     side-channel entry survived (`std::map` ascending-key iteration with
+     an immediate break, `src/multigrid.cpp:414-421`), weighted by
+     clamped projection onto that edge;
+  5. fallback B: inverse-distance weights over {parent} ∪ the two coarse
+     neighbors nearest to the fine point (`src/multigrid.cpp:449-483`),
+     regardless of the requested scheme (`src/multigrid.cpp:476-481`).
+
+All five cases become mask algebra evaluated for every (fine point x
+candidate triangle) pair at once -- no branches, no side-channel state.
+
+Two exact-compat observations let the ``insideEdge`` map
+(`src/multigrid.cpp:37-48`) collapse into pure reductions:
+  * the recorded first-encounter score ``||u - (u.w) w||`` (w the
+    UNNORMALIZED edge vector, the reference's off-by-|w|^2 quirk,
+    SURVEY.md §2.1-C10) depends only on (fine, parent, edge endpoint) --
+    not on which triangle recorded it -- and is a norm, hence >= 0;
+  * therefore the ``distance >= 0`` acceptance test in fallback A passes
+    iff the entry was never overwritten by the kill rule, so the chosen
+    edge is simply the lowest-indexed neighbor that appears in some
+    scanned triangle's slot 1/2 and was never killed.  The recorded float
+    value itself is dead (the loop breaks before comparing it).
+
+The barycentric math follows `src/multigrid.cpp:29-35`: project onto the
+triangle plane, then signed sub-area ratios against the (sign-arbitrary)
+triangle normal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import (Graph, Prolongation, TriangleSet,
+                               INVALID_INDEX, safe_gather_index)
+
+BARYCENTRIC, UNIFORM, INVDIST = 0, 1, 2  # `multigrid.h:12-16`
+
+
+def _inverse_distance_weights(points: jax.Array, p: jax.Array,
+                              cols: jax.Array, n: int) -> jax.Array:
+    """Reference C11 `inverseDistanceWeights` (`src/multigrid.cpp:63-75`):
+    normalized 1 / max(1e-8, ||p - pos[e]||) over the first ``n`` cols."""
+    d = jnp.linalg.norm(p[None, :] - points[cols], axis=-1)
+    w = 1.0 / jnp.maximum(d, 1e-8)
+    w = jnp.where(jnp.arange(cols.shape[0]) < n, w, 0.0)
+    return w / jnp.sum(w)
+
+
+def _two_point_weights(scheme: int, points: jax.Array, p: jax.Array,
+                       w_far: jax.Array, c0: jax.Array, c1: jax.Array):
+    """Shared by cases 2 and 4: weights over (c0, c1) given the clamped
+    projection weight of the far endpoint under BARYCENTRIC."""
+    if scheme == BARYCENTRIC:
+        return jnp.stack([1.0 - w_far, w_far])
+    if scheme == UNIFORM:
+        return jnp.full((2,), 0.5, points.dtype)
+    cols = jnp.stack([c0, c1])
+    return _inverse_distance_weights(points, p, cols, 2)[:2]
+
+
+@functools.partial(jax.jit, static_argnames=("scheme",))
+def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
+                       triangles: TriangleSet, scheme: int):
+    """Vectorized kernel: per-fine-point U row (cols (3,), weights (3,))
+    plus case flags (hit, edge-fallback, point-fallback)."""
+    cmask_all = coarse_nbr != INVALID_INDEX
+    cnbr_safe = safe_gather_index(coarse_nbr)
+    tri_v = triangles.vertices
+    tri_n = triangles.normals
+    tri_safe = jnp.where(tri_v == INVALID_INDEX, 0, tri_v)
+    assoc = triangles.assoc
+
+    def per_point(p, c):
+        pc = coarse_points[c]
+        nbrs = cnbr_safe[c]                       # (Kc,) ascending
+        nmask = cmask_all[c]
+        deg = jnp.sum(nmask)
+
+        # ---- case 2: single neighbor (`src/multigrid.cpp:301-334`) ----
+        nb0 = nbrs[0]
+        seg = coarse_points[nb0] - pc
+        seg_len = jnp.maximum(jnp.linalg.norm(seg), 1e-8)
+        w_nb = jnp.dot(p - pc, seg / seg_len) / seg_len
+        w_nb = jnp.clip(w_nb, 0.0, 1.0)
+        w2 = _two_point_weights(scheme, coarse_points, p, w_nb, c, nb0)
+        single_cols = jnp.stack([c, nb0, c])
+        single_wts = jnp.stack([w2[0], w2[1], jnp.zeros_like(w2[0])])
+
+        # ---- triangle scan (`src/multigrid.cpp:335-405`) ----
+        ts = assoc[c]                             # (A,)
+        tvalid = ts != INVALID_INDEX
+        ts_safe = jnp.where(tvalid, ts, 0)
+        tv = tri_safe[ts_safe]                    # (A, 3)
+        tn = tri_n[ts_safe]                       # (A, 3)
+        # Rotate so the parent sits in slot 0 (`src/multigrid.cpp:360`).
+        pos_c = jnp.argmax(tv == c, axis=1)       # (A,)
+        gather = (pos_c[:, None] + jnp.arange(3)[None, :]) % 3
+        rt = jnp.take_along_axis(tv, gather, axis=1)  # rotated (A, 3)
+        v1 = coarse_points[rt[:, 0]]              # == pc wherever valid
+        v2 = coarse_points[rt[:, 1]]
+        v3 = coarse_points[rt[:, 2]]
+        # inTriangle (`src/multigrid.cpp:29-35`)
+        dist_plane = jnp.sum((p - v1) * tn, axis=1)
+        p_proj = p - dist_plane[:, None] * tn
+        double_area = jnp.sum(jnp.cross(v2 - v1, v3 - v1) * tn, axis=1)
+        b0 = jnp.sum(jnp.cross(v3 - v2, p_proj - v2) * tn,
+                     axis=1) / double_area
+        b1 = jnp.sum(jnp.cross(v1 - v3, p_proj - v3) * tn,
+                     axis=1) / double_area
+        b2 = 1.0 - b0 - b1
+        hit = tvalid & (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+        has_hit = jnp.any(hit)
+        first = jnp.argmax(hit)                   # first True in assoc order
+        tri_cols = rt[first]
+        if scheme == BARYCENTRIC:
+            tri_wts = jnp.stack([b0[first], b1[first], b2[first]])
+        elif scheme == UNIFORM:
+            tri_wts = jnp.full((3,), 1.0 / 3.0, p.dtype)
+        else:
+            tri_wts = _inverse_distance_weights(
+                coarse_points, p, tri_cols, 3)
+
+        # ---- fallback A: surviving edge (`src/multigrid.cpp:406-448`)
+        # Kill rules from inTriangle's side effects
+        # (`src/multigrid.cpp:43-48`), applied across ALL scanned
+        # triangles (the scan only reaches the fallback when no triangle
+        # hit, so every associated triangle was processed).
+        kill1 = (b0 < 0.0) | (b1 < 0.0)           # slot-1 edge killed
+        kill2 = (b0 < 0.0) | (b2 < 0.0)           # slot-2 edge killed
+        e = nbrs                                   # (Kc,)
+        in1 = tvalid[None, :] & (rt[None, :, 1] == e[:, None])  # (Kc, A)
+        in2 = tvalid[None, :] & (rt[None, :, 2] == e[:, None])
+        present = jnp.any(in1 | in2, axis=1)
+        killed = jnp.any((in1 & kill1[None, :]) | (in2 & kill2[None, :]),
+                         axis=1)
+        eligible = nmask & present & ~killed
+        has_edge = jnp.any(eligible)
+        e_slot = jnp.argmax(eligible)              # lowest index first
+        e_idx = nbrs[e_slot]
+        eseg = coarse_points[e_idx] - pc
+        eseg_len = jnp.maximum(jnp.linalg.norm(eseg), 1e-8)
+        w_e = jnp.clip(jnp.dot(p - pc, eseg / eseg_len) / eseg_len,
+                       0.0, 1.0)
+        we2 = _two_point_weights(scheme, coarse_points, p, w_e, c, e_idx)
+        edge_cols = jnp.stack([c, e_idx, c])
+        edge_wts = jnp.stack([we2[0], we2[1], jnp.zeros_like(we2[0])])
+
+        # ---- fallback B: three nearest (`src/multigrid.cpp:449-483`)
+        nd = jnp.linalg.norm(p[None, :] - coarse_points[nbrs], axis=-1)
+        nd = jnp.where(nmask, nd, jnp.inf)
+        # std::sort on (distance, index) pairs; rows are ascending by
+        # index, so a stable sort on distance reproduces the tie-break.
+        order = jnp.argsort(nd, stable=True)
+        n1 = nbrs[order[0]]
+        n2 = nbrs[order[1]]
+        fb_cols = jnp.stack([c, n1, n2])
+        fb_wts = _inverse_distance_weights(coarse_points, p, fb_cols, 3)
+
+        # ---- combine (`src/multigrid.cpp:286-486`) ----
+        gen_cols = jnp.where(
+            has_hit, tri_cols, jnp.where(has_edge, edge_cols, fb_cols))
+        gen_wts = jnp.where(
+            has_hit, tri_wts, jnp.where(has_edge, edge_wts, fb_wts))
+        cols = jnp.where(
+            deg == 0, jnp.stack([c, c, c]),
+            jnp.where(deg == 1, single_cols, gen_cols)).astype(jnp.int32)
+        one = jnp.ones((), p.dtype)
+        zero = jnp.zeros((), p.dtype)
+        wts = jnp.where(
+            deg == 0, jnp.stack([one, zero, zero]),
+            jnp.where(deg == 1, single_wts, gen_wts))
+        flags = jnp.stack([
+            (deg >= 2) & has_hit,
+            (deg >= 2) & ~has_hit & has_edge,
+            (deg >= 2) & ~has_hit & ~has_edge,
+        ])
+        return cols, wts, flags
+
+    return jax.vmap(per_point)(fine_points, parents)
+
+
+def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
+                           coarse_points: jax.Array, coarse_nbr: jax.Array,
+                           triangles: TriangleSet,
+                           scheme: int = BARYCENTRIC,
+                           block: int = 16384) -> Tuple[Prolongation, jax.Array]:
+    """Assemble U (reference `src/multigrid.cpp:265-498`).
+
+    Evaluated in fixed-size blocks of fine points (lax.map over an inner
+    vmap) so peak memory stays O(block * A) at 1M vertices.
+
+    Returns (Prolongation, case_counts (3,) int32 = [triangle hits,
+    edge fallbacks, point fallbacks]); `case_counts` surfaces the
+    reference's never-printed counters (`src/multigrid.cpp:282-284`).
+    """
+    vf = fine_points.shape[0]
+    n_coarse = coarse_points.shape[0]
+    block = min(block, ((vf + 255) // 256) * 256)
+    vpad = ((vf + block - 1) // block) * block
+    fp = jnp.pad(fine_points, ((0, vpad - vf), (0, 0)))
+    pp = jnp.pad(parents, (0, vpad - vf))
+
+    def run_block(args):
+        f, par = args
+        return _prolongation_rows(f, par, coarse_points, coarse_nbr,
+                                  triangles, scheme)
+
+    cols, wts, flags = jax.lax.map(
+        run_block, (fp.reshape(-1, block, 3), pp.reshape(-1, block)))
+    cols = cols.reshape(vpad, 3)[:vf]
+    wts = wts.reshape(vpad, 3)[:vf]
+    flags = flags.reshape(vpad, 3)[:vf]
+    counts = jnp.sum(flags, axis=0).astype(jnp.int32)
+    return Prolongation(cols=cols, weights=wts, n_coarse=n_coarse), counts
+
+
+def prolong(u_op: Prolongation, coarse_values: jax.Array) -> jax.Array:
+    """Apply U: fine = U @ coarse.  Reference C13 `projectedPoints`
+    (`src/multigrid.cpp:500-510`) is exactly this with coarse positions.
+
+    coarse_values: (n_coarse,) or (n_coarse, D).
+    """
+    gathered = coarse_values[u_op.cols]            # (Vf, 3[, D])
+    if coarse_values.ndim == 1:
+        return jnp.sum(u_op.weights * gathered, axis=1)
+    return jnp.sum(u_op.weights[:, :, None] * gathered, axis=1)
+
+
+def restrict(u_op: Prolongation, fine_values: jax.Array) -> jax.Array:
+    """Apply U^T: coarse = U^T @ fine.  Restriction is U^T in the Gravo MG
+    method (reference `README.md:1` names it; never materialized there)."""
+    if fine_values.ndim == 1:
+        contrib = u_op.weights * fine_values[:, None]
+        out = jnp.zeros((u_op.n_coarse,), fine_values.dtype)
+        return out.at[u_op.cols].add(contrib)
+    contrib = u_op.weights[:, :, None] * fine_values[:, None, :]
+    out = jnp.zeros((u_op.n_coarse, fine_values.shape[1]),
+                    fine_values.dtype)
+    return out.at[u_op.cols.reshape(-1)].add(
+        contrib.reshape(-1, fine_values.shape[1]))
+
+
+def projected_points(u_op: Prolongation,
+                     coarse_points: jax.Array) -> jax.Array:
+    """Reference C13 (`src/multigrid.cpp:500-510`): U @ coarse_points,
+    the demo's visual sanity oracle (`test/main.cpp:147-156`)."""
+    return prolong(u_op, coarse_points)

@@ -1,0 +1,116 @@
+"""Voronoi-triangle enumeration on the coarse graph.
+
+Reference C9 ``constructVoronoiTriangles`` (`src/multigrid.cpp:209-263`):
+for each vertex v0, every pair of its neighbors (v1, v2) with
+v0 < v1 < v2 that are themselves adjacent forms a triangle; the normal is
+``normalize((p1 - p0) x (p2 - p0))`` (`src/multigrid.cpp:240-242`;
+winding, and hence normal sign, is arbitrary -- downstream math is
+sign-robust, SURVEY.md §2.1-C9).  Triangle ids are assigned in
+enumeration order and per-vertex association lists are therefore
+ascending (`src/multigrid.cpp:253-256`); we reproduce both exactly, since
+the prolongation's first-hit tie-break iterates association lists in
+order (`src/multigrid.cpp:356,374-380`).
+
+TPU-native: the candidate tensor (C, K, K) over sorted neighbor-slot
+pairs is evaluated with a vectorized adjacency membership test, compacted
+with a static-size nonzero, and association lists are grouped with one
+stable sort (SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import Graph, TriangleSet, INVALID_INDEX
+from gravomg_tpu.ops.segment import group_ordered
+
+
+@functools.partial(jax.jit, static_argnames=("max_triangles", "max_assoc"))
+def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
+                                max_assoc: int) -> Tuple[TriangleSet, jax.Array]:
+    """Enumerate coarse-graph triangles.
+
+    Args:
+      coarse: coarse-level graph (rows ascending).
+      max_triangles: static pad for the triangle list (planar-ish graphs
+        have ~2C triangles; overflow is flagged).
+      max_assoc: static pad for per-vertex association lists.
+
+    Returns:
+      (TriangleSet, overflow () bool).
+    """
+    c, k = coarse.neighbors.shape
+    nbr = coarse.safe_neighbors()
+    m = coarse.mask
+    idx = jnp.arange(c, dtype=jnp.int32)
+
+    # Candidate (v0; slot k1 < slot k2).  Rows are ascending, so slot
+    # order == index order and v2 > v1 automatically; the reference's
+    # `vertex_1 < vertex_0 -> skip` (`src/multigrid.cpp:225,232`) reduces
+    # to v1 > v0.
+    v1 = nbr[:, :, None]                               # (C, K, 1)
+    v2 = nbr[:, None, :]                               # (C, 1, K)
+    slot_ok = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])[None]
+    pair_mask = m[:, :, None] & m[:, None, :] & slot_ok
+    pair_mask &= v1 > idx[:, None, None]
+
+    # Adjacency membership: v2 in neighbors(v1)?  (C, K, K) test against
+    # the gathered rows of v1 -> (C, K, K, K) compare, chunked over C.
+    def member_chunk(args):
+        nbrc, pmc = args                               # (cc, K), (cc, K, K)
+        rows_v1 = nbr[nbrc]                            # (cc, K, K_inner)
+        # exists[c, k1, k2] = v2 in neighbors(v1)
+        exists = jnp.any(
+            rows_v1[:, :, None, :] == nbrc[:, None, :, None], axis=-1)
+        return pmc & exists
+
+    chunk = max(1, min(c, 4096))
+    cpad = ((c + chunk - 1) // chunk) * chunk
+    pad = cpad - c
+
+    def padc(a, fill=0):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    tri_mask = jax.lax.map(
+        member_chunk,
+        (padc(nbr).reshape(-1, chunk, k),
+         padc(pair_mask, False).reshape(-1, chunk, k, k)),
+    ).reshape(cpad, k, k)[:c]
+
+    # Compact in enumeration order (v0 major, then k1, then k2) -- exactly
+    # the reference's id order.
+    flat = tri_mask.reshape(-1)
+    tri_flat_idx = jnp.nonzero(flat, size=max_triangles,
+                               fill_value=c * k * k)[0]
+    overflow = jnp.sum(flat) > max_triangles
+    valid_t = tri_flat_idx < c * k * k
+    safe_flat = jnp.where(valid_t, tri_flat_idx, 0)
+    t_v0 = (safe_flat // (k * k)).astype(jnp.int32)
+    t_k1 = ((safe_flat // k) % k).astype(jnp.int32)
+    t_k2 = (safe_flat % k).astype(jnp.int32)
+    t_v1 = nbr[t_v0, t_k1]
+    t_v2 = nbr[t_v0, t_k2]
+    vertices = jnp.stack([t_v0, t_v1, t_v2], axis=1)
+    vertices = jnp.where(valid_t[:, None], vertices, INVALID_INDEX)
+
+    p0 = coarse.points[t_v0]
+    p1 = coarse.points[t_v1]
+    p2 = coarse.points[t_v2]
+    cr = jnp.cross(p1 - p0, p2 - p0)
+    normals = cr / jnp.maximum(
+        jnp.linalg.norm(cr, axis=1, keepdims=True), 1e-30)
+
+    # Association lists: triangle ids grouped per vertex, ascending.
+    tid = jnp.arange(max_triangles, dtype=jnp.int32)
+    rows = jnp.concatenate([t_v0, t_v1, t_v2])
+    pay = jnp.concatenate([tid, tid, tid])
+    av = jnp.concatenate([valid_t, valid_t, valid_t])
+    assoc, _, assoc_overflow = group_ordered(rows, pay, av, c, max_assoc)
+
+    return (TriangleSet(vertices=vertices, normals=normals, assoc=assoc),
+            overflow | assoc_overflow)

@@ -1,0 +1,63 @@
+"""Conjugate gradients, optionally preconditioned by one V-cycle
+(MG-preconditioned CG, BASELINE.json configs 2-4)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import EllOperator
+from gravomg_tpu.solve.spmv import spmv
+from gravomg_tpu.solve.vcycle import SolverHierarchy, v_cycle
+
+
+def pcg(op: EllOperator, b: jax.Array,
+        precond: Callable[[jax.Array], jax.Array],
+        tol: float = 1e-8, max_iters: int = 500,
+        x0: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array,
+                                                 jax.Array]:
+    """Preconditioned CG.  Returns (x, relative_residual, iterations)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    r0 = b - spmv(op, x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, it, rel = state
+        return (rel > tol) & (it < max_iters)
+
+    def body(state):
+        x, r, z, p, rz, it, _ = state
+        ap = spmv(op, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = z + beta * p
+        rel = jnp.linalg.norm(r) / bnorm
+        return x, r, z, p, rz_new, it + 1, rel
+
+    rel0 = jnp.linalg.norm(r0) / bnorm
+    state = (x0, r0, z0, p0, rz0, jnp.int32(0), rel0)
+    x, _, _, _, _, it, rel = jax.lax.while_loop(cond, body, state)
+    return x, rel, it
+
+
+def mg_pcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
+           x0: Optional[jax.Array] = None):
+    """CG on the finest operator, preconditioned by one V-cycle."""
+    op = h.levels[0].op
+
+    def precond(r):
+        return v_cycle(h, jnp.zeros_like(r), r, cfg)
+
+    return pcg(op, b, precond, tol=cfg.tolerance,
+               max_iters=cfg.max_cycles, x0=x0)

@@ -1,0 +1,90 @@
+"""Smoothers: weighted Jacobi and Chebyshev (BASELINE.json north star).
+
+Absent from the reference fork (SURVEY.md §0); standard multigrid
+components driven by the hierarchy's operators.  Both are branch-free
+fixed-shape iterations (fori_loop) suitable for jit/vmap/pjit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import EllOperator
+from gravomg_tpu.solve.spmv import spmv
+
+
+def weighted_jacobi(op: EllOperator, x: jax.Array, b: jax.Array,
+                    iterations: int, omega: float = 2.0 / 3.0) -> jax.Array:
+    """x <- x + omega D^{-1} (b - A x), ``iterations`` times."""
+    dinv = 1.0 / op.diag
+    if x.ndim > 1:
+        dinv = dinv[:, None]
+
+    def body(_, x):
+        return x + omega * dinv * (b - spmv(op, x))
+
+    return jax.lax.fori_loop(0, iterations, body, x)
+
+
+def estimate_lambda_max(op: EllOperator, iterations: int = 30,
+                        seed: int = 0) -> jax.Array:
+    """Power iteration on D^{-1} A (the Jacobi-preconditioned operator),
+    used to scale the Chebyshev interval.  Runs at setup time."""
+    dinv = 1.0 / op.diag
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (op.num_vertices,), op.diag.dtype)
+
+    def body(_, x):
+        y = dinv * spmv(op, x)
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
+
+    x = jax.lax.fori_loop(0, iterations, body, x)
+    y = dinv * spmv(op, x)
+    return jnp.vdot(x, y) / jnp.maximum(jnp.vdot(x, x), 1e-30)
+
+
+class ChebyshevParams(NamedTuple):
+    """Precomputed smoothing interval [lambda_max/ratio, lambda_max] of
+    D^{-1} A.  ratio=4 targets the upper part of the spectrum (the
+    standard multigrid smoothing range)."""
+    lam_min: jax.Array
+    lam_max: jax.Array
+
+    @staticmethod
+    def from_operator(op: EllOperator, ratio: float = 4.0,
+                      safety: float = 1.1) -> "ChebyshevParams":
+        lmax = estimate_lambda_max(op) * safety
+        return ChebyshevParams(lam_min=lmax / ratio, lam_max=lmax)
+
+
+def chebyshev(op: EllOperator, x: jax.Array, b: jax.Array,
+              params: ChebyshevParams, degree: int) -> jax.Array:
+    """Chebyshev polynomial smoother of given degree on D^{-1} A.
+
+    Standard three-term recurrence over the interval
+    [lam_min, lam_max]; equivalent to `degree` matrix applications.
+    """
+    dinv = 1.0 / op.diag
+    if x.ndim > 1:
+        dinv = dinv[:, None]
+    theta = 0.5 * (params.lam_max + params.lam_min)
+    delta = 0.5 * (params.lam_max - params.lam_min)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+
+    r = dinv * (b - spmv(op, x))
+    d = r / theta
+    x = x + d
+
+    def body(_, carry):
+        x, d, rho = carry
+        r = dinv * (b - spmv(op, x))
+        rho_next = 1.0 / (2.0 * sigma - rho)
+        d = rho_next * rho * d + (2.0 * rho_next / delta) * r
+        return x + d, d, rho_next
+
+    x, _, _ = jax.lax.fori_loop(0, degree - 1, body, (x, d, rho))
+    return x

@@ -1,0 +1,84 @@
+"""V-cycle driver over a multigrid hierarchy (SURVEY.md CS-5).
+
+The hierarchy is a static pytree of per-level operators and prolongation
+operators; the V-cycle unrolls over it inside one jit trace with padded
+fixed shapes (BASELINE.json north star).  Smoother selection is static
+(compile-time), matching the config-dataclass design of SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import EllOperator, Prolongation
+from gravomg_tpu.solve.spmv import spmv
+from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
+                                         weighted_jacobi)
+from gravomg_tpu.solve.coarse import coarse_solve
+
+
+class SolverLevel(NamedTuple):
+    op: EllOperator
+    u: Optional[Prolongation]           # maps next-coarser level -> this one
+    cheb: Optional[ChebyshevParams]
+
+
+class SolverHierarchy(NamedTuple):
+    levels: Tuple[SolverLevel, ...]
+    coarse_chol: jax.Array
+
+
+def _smooth(level: SolverLevel, x, b, iters: int, cfg: MultigridConfig):
+    if cfg.smoother == "chebyshev":
+        return chebyshev(level.op, x, b, level.cheb, cfg.chebyshev_degree)
+    return weighted_jacobi(level.op, x, b, iters, cfg.jacobi_omega)
+
+
+def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
+            cfg: MultigridConfig) -> jax.Array:
+    """One V(pre, post) cycle on the finest level."""
+    from gravomg_tpu.prolong.operator import prolong, restrict
+
+    def descend(lvl: int, x, b):
+        level = h.levels[lvl]
+        if lvl == len(h.levels) - 1:
+            return coarse_solve(h.coarse_chol, b)
+        x = _smooth(level, x, b, cfg.pre_smooth, cfg)
+        r = b - spmv(level.op, x)
+        rc = restrict(level.u, r)
+        ec = descend(lvl + 1, jnp.zeros_like(rc), rc)
+        x = x + prolong(level.u, ec)
+        return _smooth(level, x, b, cfg.post_smooth, cfg)
+
+    return descend(0, x, b)
+
+
+def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
+          x0: Optional[jax.Array] = None):
+    """Stationary V-cycle iteration to cfg.tolerance relative residual.
+
+    Returns (x, relative_residual, iterations).  Fully jittable: the
+    iteration runs in a while_loop with a residual-based exit.
+    """
+    a0 = h.levels[0].op
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+
+    def cond(state):
+        x, it, rel = state
+        return (rel > cfg.tolerance) & (it < cfg.max_cycles)
+
+    def body(state):
+        x, it, _ = state
+        x = v_cycle(h, x, b, cfg)
+        rel = jnp.linalg.norm(b - spmv(a0, x)) / bnorm
+        return x, it + 1, rel
+
+    rel0 = jnp.linalg.norm(b - spmv(a0, x0)) / bnorm
+    x, it, rel = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), rel0))
+    return x, rel, it
