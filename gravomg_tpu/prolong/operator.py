@@ -99,8 +99,10 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         # ---- case 2: single neighbor (`src/multigrid.cpp:301-334`) ----
         nb0 = nbrs[0]
         seg = coarse_points[nb0] - pc
+        # Reference normalizes by the TRUE norm but divides by the clamped
+        # length (`src/multigrid.cpp:311-313`); keep both for exactness.
         seg_len = jnp.maximum(jnp.linalg.norm(seg), 1e-8)
-        w_nb = jnp.dot(p - pc, seg / seg_len) / seg_len
+        w_nb = jnp.dot(p - pc, seg / jnp.linalg.norm(seg)) / seg_len
         w_nb = jnp.clip(w_nb, 0.0, 1.0)
         w2 = _two_point_weights(scheme, coarse_points, p, w_nb, c, nb0)
         single_cols = jnp.stack([c, nb0, c])
@@ -159,8 +161,9 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         e_idx = nbrs[e_slot]
         eseg = coarse_points[e_idx] - pc
         eseg_len = jnp.maximum(jnp.linalg.norm(eseg), 1e-8)
-        w_e = jnp.clip(jnp.dot(p - pc, eseg / eseg_len) / eseg_len,
-                       0.0, 1.0)
+        w_e = jnp.clip(
+            jnp.dot(p - pc, eseg / jnp.linalg.norm(eseg)) / eseg_len,
+            0.0, 1.0)
         we2 = _two_point_weights(scheme, coarse_points, p, w_e, c, e_idx)
         edge_cols = jnp.stack([c, e_idx, c])
         edge_wts = jnp.stack([we2[0], we2[1], jnp.zeros_like(we2[0])])

@@ -1,0 +1,85 @@
+"""Property tests over the hierarchy (SURVEY.md §4's implied oracles):
+row-stochastic U, <=3 nnz/row, parent-adjacency support, partition
+sanity, projection residual bounded by the sampling radius."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gravomg_tpu as g
+from gravomg_tpu.geometry.meshes import torus_points
+from gravomg_tpu.types import INVALID_INDEX
+
+
+def _build(rng, n=800):
+    pts = torus_points(n, seed=5)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    lap, mass = g.graph_laplacian(graph)
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    h = g.build_hierarchy(graph, spd, g.MultigridConfig(coarse_threshold=50))
+    return pts, graph, h
+
+
+def test_hierarchy_invariants(rng):
+    pts, graph, h = _build(rng)
+    assert len(h.levels) >= 2
+    for li, ld in enumerate(h.levels):
+        fine_graph = h.graphs[li]
+        n_fine = fine_graph.num_vertices
+        n_coarse = ld.coarse.num_vertices
+
+        # Partition sanity (`test/main.cpp:80-85` oracle 2).
+        par = np.asarray(ld.parents)
+        assert par.shape == (n_fine,)
+        assert par.min() >= 0 and par.max() < n_coarse
+        # Every coarse cell owns its seed.
+        np.testing.assert_array_equal(par[ld.samples],
+                                      np.arange(n_coarse))
+
+        # Row-stochastic U, 1-3 nnz (oracle 3; §2.1-C12 invariants).
+        w = np.asarray(ld.u.weights)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-10)
+        cols = np.asarray(ld.u.cols)
+        assert cols.min() >= 0 and cols.max() < n_coarse
+
+        # Support: each row's columns are the parent or its coarse
+        # neighbors (§2.1-C12 invariant).
+        cn = np.asarray(ld.coarse.neighbors)
+        for i in rng.choice(n_fine, size=min(100, n_fine), replace=False):
+            p = par[i]
+            allowed = {p} | set(cn[p][cn[p] != INVALID_INDEX])
+            used = {int(c) for c, wt in zip(cols[i], w[i]) if abs(wt) > 0}
+            assert used <= allowed, (li, i, used, allowed)
+
+        # Projection residual bounded by a few sampling radii
+        # (oracle 1, `test/main.cpp:147-156`).
+        proj = np.asarray(g.projected_points(ld.u, ld.coarse.points))
+        res = np.linalg.norm(proj - np.asarray(fine_graph.points), axis=1)
+        assert res.max() < 5.0 * float(ld.stats.radius)
+
+        # Coarse graph nonempty and symmetric (oracle 4).
+        deg = np.asarray(ld.coarse.degrees)
+        assert deg.max() > 0
+        for c in range(n_coarse):
+            for q in cn[c][cn[c] != INVALID_INDEX]:
+                assert c in set(cn[q][cn[q] != INVALID_INDEX])
+
+
+def test_coarsening_ratio(rng):
+    pts, graph, h = _build(rng)
+    # radius = cbrt(2) * mean edge targets ~2x reduction per level
+    # (`test/main.cpp:23,74`); accept a broad band.
+    for ld in h.levels:
+        ratio = ld.stats.n_fine / ld.stats.n_coarse
+        assert 1.5 < ratio < 8.0
+
+
+def test_hierarchy_serialization_roundtrip(rng, tmp_path):
+    import pickle
+    pts, graph, h = _build(rng)
+    blob = pickle.dumps(jax.tree_util.tree_map(np.asarray, h))
+    h2 = pickle.loads(blob)
+    w0 = np.asarray(h.levels[0].u.weights)
+    np.testing.assert_array_equal(w0, h2.levels[0].u.weights)
+
+
+import jax  # noqa: E402  (used in serialization test)

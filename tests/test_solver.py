@@ -1,0 +1,137 @@
+"""Solver stack tests: SpMV, RAP, smoothers, V-cycle, MG-PCG
+(SURVEY.md CS-5; BASELINE.json configs 1-2 at test scale)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gravomg_tpu as g
+from gravomg_tpu.geometry.meshes import icosphere
+from gravomg_tpu.solve.smoothers import ChebyshevParams, chebyshev
+from gravomg_tpu.solve.coarse import factor_coarse, coarse_solve
+
+
+def _random_ell_spd(rng, n=50, k=6):
+    """Random symmetric diagonally-dominant ELL operator."""
+    dense = np.zeros((n, n))
+    for i in range(n):
+        for j in rng.choice(n, size=k, replace=False):
+            if i != j:
+                w = rng.random() + 0.1
+                dense[i, j] -= w
+                dense[j, i] -= w
+    np.fill_diagonal(dense, -dense.sum(axis=1) + 0.5)
+    # to ELL
+    kmax = int((dense != 0).sum(axis=1).max())
+    from gravomg_tpu.ops.segment import build_ell_rows
+    rows, cols = np.nonzero(dense * (1 - np.eye(n)))
+    res = build_ell_rows(jnp.asarray(rows, jnp.int32),
+                         jnp.asarray(cols, jnp.int32),
+                         jnp.ones(len(rows), bool), n, kmax + 2,
+                         values=jnp.asarray(dense[rows, cols]))
+    op = g.EllOperator(res.columns,
+                       jnp.where(res.columns != g.INVALID_INDEX,
+                                 res.values, 0.0),
+                       jnp.asarray(np.diag(dense)))
+    return op, dense
+
+
+def test_spmv_matches_dense(rng):
+    op, dense = _random_ell_spd(rng)
+    x = rng.normal(size=dense.shape[0])
+    np.testing.assert_allclose(np.asarray(g.spmv(op, jnp.asarray(x))),
+                               dense @ x, rtol=1e-12)
+    xm = rng.normal(size=(dense.shape[0], 3))
+    np.testing.assert_allclose(np.asarray(g.spmv(op, jnp.asarray(xm))),
+                               dense @ xm, rtol=1e-12)
+
+
+def test_ell_as_dense_roundtrip(rng):
+    op, dense = _random_ell_spd(rng)
+    np.testing.assert_allclose(np.asarray(op.as_dense()), dense, rtol=1e-12)
+
+
+def test_galerkin_rap_matches_dense(rng):
+    op, dense = _random_ell_spd(rng, n=60)
+    n, nc = 60, 20
+    cols = rng.integers(0, nc, size=(n, 3)).astype(np.int32)
+    w = rng.random(size=(n, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    u_dense = np.asarray(u.as_dense())
+    expect = u_dense.T @ dense @ u_dense
+    coarse, ovf = g.galerkin_rap(op, u, nc)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(coarse.as_dense()), expect,
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_prolong_restrict_adjoint(rng):
+    n, nc = 40, 12
+    cols = rng.integers(0, nc, size=(n, 3)).astype(np.int32)
+    w = rng.normal(size=(n, 3))
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    x = jnp.asarray(rng.normal(size=nc))
+    y = jnp.asarray(rng.normal(size=n))
+    # <U x, y> == <x, U^T y>
+    lhs = float(jnp.vdot(g.prolong(u, x), y))
+    rhs = float(jnp.vdot(x, g.restrict(u, y)))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_jacobi_and_chebyshev_reduce_error(rng):
+    op, dense = _random_ell_spd(rng, n=80)
+    x_true = rng.normal(size=80)
+    b = jnp.asarray(dense @ x_true)
+    x0 = jnp.zeros(80)
+    e0 = np.linalg.norm(x_true)
+    xj = g.weighted_jacobi(op, x0, b, 30)
+    assert np.linalg.norm(np.asarray(xj) - x_true) < 0.7 * e0
+    params = ChebyshevParams.from_operator(op, ratio=30.0)
+    xc = chebyshev(op, x0, b, params, 20)
+    assert np.linalg.norm(np.asarray(xc) - x_true) < 0.5 * e0
+
+
+def test_coarse_cholesky(rng):
+    op, dense = _random_ell_spd(rng, n=30)
+    chol = factor_coarse(op)
+    b = jnp.asarray(rng.normal(size=30))
+    x = coarse_solve(chol, b)
+    np.testing.assert_allclose(np.asarray(g.spmv(op, x)), np.asarray(b),
+                               rtol=1e-8, atol=1e-8)
+
+
+def _sphere_hierarchy(rng, smoother="jacobi"):
+    v, f = icosphere(3)
+    v = v + rng.normal(scale=1e-3, size=v.shape)
+    graph = g.knn_graph(jnp.asarray(v), k=8)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    cfg = g.MultigridConfig(coarse_threshold=64, smoother=smoother)
+    return g.build_hierarchy(graph, spd, cfg), cfg, spd
+
+
+def test_vcycle_solver_converges(rng):
+    h, cfg, spd = _sphere_hierarchy(rng)
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    x, rel, it = g.solve(h.solver, b, cfg)
+    assert float(rel) < cfg.tolerance
+    assert int(it) < 40
+    true_rel = float(jnp.linalg.norm(g.spmv(spd, x) - b)
+                     / jnp.linalg.norm(b))
+    assert true_rel < 10 * cfg.tolerance
+
+
+def test_mg_pcg_converges(rng):
+    h, cfg, spd = _sphere_hierarchy(rng)
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    x, rel, it = g.mg_pcg(h.solver, b, cfg)
+    assert float(rel) < cfg.tolerance
+    assert int(it) < 25
+
+
+def test_chebyshev_hierarchy_converges(rng):
+    h, cfg, spd = _sphere_hierarchy(rng, smoother="chebyshev")
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    x, rel, it = g.solve(h.solver, b, cfg)
+    assert float(rel) < cfg.tolerance
+    assert int(it) < 40
