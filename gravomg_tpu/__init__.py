@@ -44,7 +44,7 @@ from gravomg_tpu.solve.rap import galerkin_rap
 from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
                                          weighted_jacobi)
 from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel, solve,
-                                      v_cycle)
+                                      solve_refined, v_cycle)
 from gravomg_tpu.solve.cg import mg_pcg, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,
                                    coarsen_once)

@@ -82,3 +82,46 @@ def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     rel0 = jnp.linalg.norm(b - spmv(a0, x0)) / bnorm
     x, it, rel = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), rel0))
     return x, rel, it
+
+
+def solve_refined(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
+                  inner_cycles: int = 2):
+    """Mixed-precision solve: f64 residual accumulation around f32
+    V-cycle corrections (iterative refinement).
+
+    The reference is f64 throughout (SURVEY.md §2.2); on TPU, f64 is
+    emulated and slow, so the hot path (smoothing, SpMV, transfers) runs
+    in f32 while only the outer residual r = b - A x and the solution
+    accumulate in f64.  This reaches the BASELINE 1e-8 relative-residual
+    target at f32 kernel speed; requires x64 enabled.
+
+    Returns (x (f64), relative_residual, outer_iterations).
+    """
+    a0 = h.levels[0].op
+    a0_64 = EllOperator(a0.neighbors, a0.offdiag.astype(jnp.float64),
+                        a0.diag.astype(jnp.float64))
+    b64 = b.astype(jnp.float64)
+    bnorm = jnp.maximum(jnp.linalg.norm(b64), 1e-300)
+
+    def inner(r32):
+        x = jnp.zeros_like(r32)
+        for _ in range(inner_cycles):
+            x = v_cycle(h, x, r32, cfg)
+        return x
+
+    def cond(state):
+        x, it, rel = state
+        return (rel > cfg.tolerance) & (it < cfg.max_cycles)
+
+    def body(state):
+        x, it, _ = state
+        r = b64 - spmv(a0_64, x)
+        d = inner(r.astype(jnp.float32))
+        x = x + d.astype(jnp.float64)
+        rel = jnp.linalg.norm(b64 - spmv(a0_64, x)) / bnorm
+        return x, it + 1, rel
+
+    x0 = jnp.zeros_like(b64)
+    state = (x0, jnp.int32(0), jnp.float64(jnp.inf))
+    x, it, rel = jax.lax.while_loop(cond, body, state)
+    return x, rel, it
