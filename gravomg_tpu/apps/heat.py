@@ -1,0 +1,88 @@
+"""Geodesic distance via the heat method (BASELINE config 3).
+
+Two successive linear solves on a reused hierarchy (the pattern the
+armadillo config exercises):
+  1. heat step:      (M + t L) u = delta_source
+  2. Poisson step:   L phi = div(X), X = -normalized graph gradient of u
+
+Graph-native formulation (the library operates on kNN/ELL graphs, not
+FEM meshes): the gradient lives on directed edges,
+g_ij = (u_j - u_i)/d_ij; X normalizes g per edge; divergence at i sums
+w_ij * X_ij over incident edges.  phi is shifted to phi[source] = 0.
+Both solves reuse one multigrid hierarchy -- rebuilding operators only,
+never re-coarsening.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import EllOperator, Graph
+from gravomg_tpu.geometry.laplacian import graph_laplacian
+from gravomg_tpu.hierarchy import Hierarchy
+from gravomg_tpu.solve.rap import galerkin_rap
+from gravomg_tpu.solve.coarse import factor_coarse
+from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel, solve
+from gravomg_tpu.solve.smoothers import ChebyshevParams
+
+
+def refit_hierarchy(h: Hierarchy, new_fine_op: EllOperator,
+                    cfg: MultigridConfig) -> SolverHierarchy:
+    """Re-Galerkin an existing geometric hierarchy for a new fine
+    operator (hierarchy reuse: coarsening, parents, U all unchanged)."""
+    ops = [new_fine_op]
+    for ld in h.levels:
+        kc2 = h.solver.levels[len(ops)].op.max_degree
+        coarse_op, _ = galerkin_rap(ops[-1], ld.u, kc2)
+        ops.append(coarse_op)
+    levels = []
+    for i, o in enumerate(ops):
+        u = h.levels[i].u if i < len(h.levels) else None
+        cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
+                if cfg.smoother == "chebyshev" else None)
+        levels.append(SolverLevel(op=o, u=u, cheb=cheb))
+    return SolverHierarchy(levels=tuple(levels),
+                           coarse_chol=factor_coarse(ops[-1]))
+
+
+def heat_geodesics(graph: Graph, h: Hierarchy, source: int,
+                   t_factor: float = 1.0,
+                   cfg: MultigridConfig = MultigridConfig()) -> jax.Array:
+    """Approximate geodesic distance from ``source`` to all vertices."""
+    lap, mass = graph_laplacian(graph, "invdist")
+    mean_edge = jnp.sum(jnp.where(graph.mask, graph.distances, 0.0)) \
+        / jnp.sum(graph.mask)
+    t = t_factor * mean_edge ** 2
+
+    # Step 1: heat diffusion (M + t L) u = delta.
+    heat_op = lap._replace(diag=lap.diag * t + mass,
+                           offdiag=lap.offdiag * t)
+    sh = refit_hierarchy(h, heat_op, cfg)
+    delta = jnp.zeros(graph.num_vertices, graph.points.dtype)
+    delta = delta.at[source].set(1.0)
+    u, _, _ = solve(sh, mass * delta, cfg)
+
+    # Step 2: normalized-gradient divergence and Poisson solve.
+    mask = graph.mask
+    safe = graph.safe_neighbors()
+    d = jnp.where(mask, graph.distances, jnp.inf)
+    grad = (u[safe] - u[:, None]) / d                 # (V, K) edge gradient
+    xdir = -jnp.sign(grad)                            # unit edge field
+    w = jnp.where(mask, 1.0 / jnp.maximum(d, 1e-8), 0.0)
+    div = jnp.sum(w * xdir, axis=1)
+    # Shifted SPD Poisson solve (L is singular on constants).
+    eps = 1e-6
+    pois_op = lap._replace(diag=lap.diag + eps * mass)
+    ph = refit_hierarchy(h, pois_op, cfg)
+    phi, _, _ = solve(ph, div - jnp.mean(div), cfg)
+    phi = phi[source] - phi          # orient increasing away from source
+    # Calibrate to unit speed: rescale so the mean |edge gradient| is 1
+    # (the graph Laplacian's weighting skews the raw scale).
+    gphi = jnp.abs(phi[safe] - phi[:, None]) / d
+    mean_grad = (jnp.sum(jnp.where(mask, gphi, 0.0))
+                 / jnp.maximum(jnp.sum(mask), 1))
+    return phi / jnp.maximum(mean_grad, 1e-12)

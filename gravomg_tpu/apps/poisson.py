@@ -1,0 +1,50 @@
+"""Poisson-type solves on meshes / point clouds (BASELINE configs 1-2).
+
+The reference's demo problem family: Laplacian systems over kNN point
+clouds (`test/main.cpp:68`).  These helpers assemble the operator,
+build the hierarchy, and solve with V-cycles or MG-PCG.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import EllOperator, Graph
+from gravomg_tpu.geometry.laplacian import cotan_laplacian, graph_laplacian
+from gravomg_tpu.hierarchy import Hierarchy, build_hierarchy
+from gravomg_tpu.solve.vcycle import solve, solve_refined
+from gravomg_tpu.solve.cg import mg_pcg
+
+
+def screened_poisson_operator(graph: Graph, alpha: float = 0.5,
+                              weighting: str = "invdist"
+                              ) -> Tuple[EllOperator, jax.Array]:
+    """A = L + alpha * diag(mass): SPD screened-Poisson operator."""
+    lap, mass = graph_laplacian(graph, weighting)
+    return lap._replace(diag=lap.diag + alpha * mass), mass
+
+
+def poisson_hierarchy(graph: Graph, alpha: float = 0.5,
+                      cfg: MultigridConfig = MultigridConfig()) -> Hierarchy:
+    op, _ = screened_poisson_operator(graph, alpha)
+    return build_hierarchy(graph, op, cfg)
+
+
+def solve_poisson(h: Hierarchy, b: jax.Array,
+                  cfg: MultigridConfig = MultigridConfig(),
+                  method: str = "vcycle", refined: bool = False):
+    """Solve A x = b on the hierarchy's finest level.
+
+    method: "vcycle" (stationary) or "pcg" (MG-preconditioned CG).
+    refined=True wraps f32 cycles in f64 iterative refinement (needed to
+    certify 1e-8 relative residuals with f32 kernels).
+    """
+    if refined:
+        return solve_refined(h.solver, b, cfg)
+    if method == "pcg":
+        return mg_pcg(h.solver, b, cfg)
+    return solve(h.solver, b, cfg)

@@ -1,0 +1,85 @@
+"""Application-level tests: Poisson, heat geodesics, smoothing,
+hierarchy reuse (BASELINE configs 1-3 at test scale)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gravomg_tpu as g
+from gravomg_tpu.apps.poisson import poisson_hierarchy, solve_poisson
+from gravomg_tpu.apps.heat import heat_geodesics, refit_hierarchy
+from gravomg_tpu.apps.smoothing import implicit_smooth
+from gravomg_tpu.geometry.meshes import icosphere
+
+
+def _sphere(rng, sub=3):
+    v, f = icosphere(sub)
+    v = v + rng.normal(scale=1e-3, size=v.shape)
+    return g.knn_graph(jnp.asarray(v), k=8)
+
+
+def test_solve_poisson_vcycle_and_pcg(rng):
+    graph = _sphere(rng)
+    cfg = g.MultigridConfig(coarse_threshold=64)
+    h = poisson_hierarchy(graph, alpha=0.5, cfg=cfg)
+    b = jnp.asarray(rng.normal(size=graph.num_vertices))
+    for method in ("vcycle", "pcg"):
+        x, rel, it = solve_poisson(h, b, cfg, method=method)
+        assert float(rel) < cfg.tolerance
+
+
+def test_solve_poisson_refined_reaches_1e8_from_f32(rng):
+    graph = _sphere(rng)
+    graph = g.Graph(graph.neighbors,
+                    graph.distances.astype(jnp.float32),
+                    graph.points.astype(jnp.float32))
+    cfg = g.MultigridConfig(coarse_threshold=64)
+    h = poisson_hierarchy(graph, alpha=0.5, cfg=cfg)
+    b = jnp.asarray(rng.normal(size=graph.num_vertices), jnp.float32)
+    x, rel, it = solve_poisson(h, b, cfg, refined=True)
+    assert float(rel) < 1e-8
+    assert x.dtype == jnp.float64
+
+
+def test_heat_geodesics_monotone_from_source(rng):
+    graph = _sphere(rng)
+    cfg = g.MultigridConfig(coarse_threshold=64, tolerance=1e-8)
+    h = poisson_hierarchy(graph, cfg=cfg)
+    src = 0
+    phi = np.asarray(heat_geodesics(graph, h, src, cfg=cfg))
+    assert phi[src] == 0.0
+    # Distances should correlate strongly with true sphere geodesics.
+    pts = np.asarray(graph.points)
+    p0 = pts[src] / np.linalg.norm(pts[src])
+    dots = np.clip(pts @ p0 / np.linalg.norm(pts, axis=1), -1, 1)
+    true_geo = np.arccos(dots)
+    corr = np.corrcoef(phi, true_geo)[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_implicit_smoothing_shrinks_sphere_noise(rng):
+    v, f = icosphere(3)
+    noisy = v + rng.normal(scale=0.02, size=v.shape)
+    graph = g.knn_graph(jnp.asarray(noisy), k=8)
+    cfg = g.MultigridConfig(coarse_threshold=64, tolerance=1e-8)
+    h = poisson_hierarchy(graph, cfg=cfg)
+    smoothed = np.asarray(implicit_smooth(graph, h, t_factor=2.0, cfg=cfg))
+    # Radius variance (noise) should drop substantially.
+    def radial_std(p):
+        r = np.linalg.norm(p - p.mean(0), axis=1)
+        return r.std()
+    assert radial_std(smoothed) < 0.6 * radial_std(noisy)
+
+
+def test_refit_hierarchy_reuse(rng):
+    graph = _sphere(rng)
+    cfg = g.MultigridConfig(coarse_threshold=64)
+    h = poisson_hierarchy(graph, alpha=0.5, cfg=cfg)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    new_op = lap._replace(diag=lap.diag + 2.0 * mass)
+    sh = refit_hierarchy(h, new_op, cfg)
+    b = jnp.asarray(rng.normal(size=graph.num_vertices))
+    x, rel, it = g.solve(sh, b, cfg)
+    assert float(rel) < cfg.tolerance
+    true_rel = float(jnp.linalg.norm(g.spmv(new_op, x) - b)
+                     / jnp.linalg.norm(b))
+    assert true_rel < 1e-6
