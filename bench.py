@@ -144,16 +144,19 @@ def main():
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.normal(size=n), jnp.float32)
 
+    # The hierarchy must be a jit ARGUMENT: closure-captured arrays are
+    # baked as HLO constants and re-materialized per call (measured 1000x
+    # slower under the axon runtime).
     @jax.jit
-    def step(x, b):
+    def step(h, x, b):
         return g.v_cycle(h, x, b, cfg)
 
-    x = step(jnp.zeros_like(b), b)
+    x = step(h, jnp.zeros_like(b), b)
     x.block_until_ready()  # compile
     # Timed: chain CYCLES V-cycles.
     t0 = time.perf_counter()
     for _ in range(CYCLES):
-        x = step(x, b)
+        x = step(h, x, b)
     x.block_until_ready()
     tpu_ms = (time.perf_counter() - t0) / CYCLES * 1000
 

@@ -51,9 +51,15 @@ def pcg(op: EllOperator, b: jax.Array,
     return x, rel, it
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def mg_pcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
            x0: Optional[jax.Array] = None):
-    """CG on the finest operator, preconditioned by one V-cycle."""
+    """CG on the finest operator, preconditioned by one V-cycle.
+
+    Jitted with the hierarchy as an argument and the config static."""
     op = h.levels[0].op
 
     def precond(r):

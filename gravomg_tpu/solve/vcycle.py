@@ -57,12 +57,19 @@ def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
     return descend(0, x, b)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
           x0: Optional[jax.Array] = None):
     """Stationary V-cycle iteration to cfg.tolerance relative residual.
 
-    Returns (x, relative_residual, iterations).  Fully jittable: the
-    iteration runs in a while_loop with a residual-based exit.
+    Returns (x, relative_residual, iterations).  Jitted with the
+    hierarchy as an argument (closure-captured arrays would be baked as
+    HLO constants and re-materialized per call) and the frozen config as
+    a static argument; the iteration runs in a while_loop with a
+    residual-based exit.
     """
     a0 = h.levels[0].op
     if x0 is None:
@@ -84,6 +91,7 @@ def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     return x, rel, it
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "inner_cycles"))
 def solve_refined(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
                   inner_cycles: int = 2):
     """Mixed-precision solve: f64 residual accumulation around f32
