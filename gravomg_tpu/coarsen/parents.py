@@ -51,11 +51,17 @@ def assign_parents(graph: Graph, coarse_samples: jax.Array,
     m = graph.mask
     d = jnp.where(m, graph.distances, jnp.inf)
 
-    dist0 = jnp.full((v,), jnp.inf, graph.distances.dtype)
-    dist0 = dist0.at[coarse_samples].set(0.0)
-    par0 = jnp.zeros((v,), jnp.int32)
-    par0 = par0.at[coarse_samples].set(
-        jnp.arange(coarse_samples.shape[0], dtype=jnp.int32))
+    # Samples may be padded with INVALID_INDEX (bucketed coarse sizes for
+    # recompile-free builds); padded seeds scatter into a dump row.
+    from gravomg_tpu.types import INVALID_INDEX
+    valid_s = coarse_samples != INVALID_INDEX
+    scatter_idx = jnp.where(valid_s, coarse_samples, v)
+    dist0 = jnp.full((v + 1,), jnp.inf, graph.distances.dtype)
+    dist0 = dist0.at[scatter_idx].set(
+        jnp.where(valid_s, 0.0, jnp.inf))[:v]
+    par0 = jnp.zeros((v + 1,), jnp.int32)
+    par0 = par0.at[scatter_idx].set(
+        jnp.arange(coarse_samples.shape[0], dtype=jnp.int32))[:v]
 
     def sweep(state):
         dist, par, changed, it = state

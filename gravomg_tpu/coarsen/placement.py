@@ -22,17 +22,32 @@ from gravomg_tpu.types import Graph
 
 def coarse_from_mean_of_fine_children(
         graph: Graph, parents: jax.Array, coarse_samples: jax.Array,
+        n_valid_fine: int | None = None,
 ) -> jax.Array:
-    """Returns (C, 3) coarse positions."""
+    """Returns (C, 3) coarse positions.
+
+    ``n_valid_fine`` excludes bucket-phantom fine vertices (rows beyond
+    the real count) from every cell average.
+    """
     points = graph.points
     c = coarse_samples.shape[0]
-    sums = jnp.zeros((c, points.shape[1]), points.dtype)
-    sums = sums.at[parents].add(points)
-    counts = jnp.zeros((c,), jnp.int32).at[parents].add(1)
+    v = points.shape[0]
+    if n_valid_fine is not None and n_valid_fine < v:
+        fine_ok = jnp.arange(v) < n_valid_fine
+        scatter_par = jnp.where(fine_ok, parents, c)
+    else:
+        scatter_par = parents
+    sums = jnp.zeros((c + 1, points.shape[1]), points.dtype)
+    sums = sums.at[scatter_par].add(points)[:c]
+    counts = jnp.zeros((c + 1,), jnp.int32).at[scatter_par].add(1)[:c]
 
     # Lonely-cell patch: a 1-child cell's only child is its seed (the seed
-    # always maps to itself at distance 0).
-    seeds = coarse_samples
+    # always maps to itself at distance 0).  Samples may carry
+    # INVALID_INDEX padding (phantom coarse slots, bucketed builds);
+    # phantoms have counts == 0, never "lonely", so the patched values
+    # computed from the clamped seed index are discarded.
+    from gravomg_tpu.types import INVALID_INDEX
+    seeds = jnp.where(coarse_samples == INVALID_INDEX, 0, coarse_samples)
     nbr_mask = graph.mask[seeds]                       # (C, K)
     nbr_pts = points[graph.safe_neighbors()[seeds]]    # (C, K, 3)
     patched_sum = points[seeds] + jnp.sum(

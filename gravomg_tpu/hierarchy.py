@@ -29,7 +29,9 @@ import numpy as np
 from gravomg_tpu.config import MultigridConfig
 from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
                                Prolongation, TriangleSet)
-from gravomg_tpu.coarsen.sampling import (fast_disc_sample, sampling_radius)
+from gravomg_tpu.coarsen.sampling import (fast_disc_sample,
+                                          fast_disc_sample_mask,
+                                          sampling_radius)
 from gravomg_tpu.coarsen.parents import assign_parents
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
 from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
@@ -45,6 +47,17 @@ def _round_up(x: int, m: int = 8) -> int:
     return ((x + m - 1) // m) * m
 
 
+def size_bucket(n: int, base: int = 64, ratio: float = 1.25) -> int:
+    """Geometric shape bucket (SURVEY.md §7: per-level padded buckets so
+    jit compiles once per bucket, not once per mesh).  Coarse levels are
+    padded to the bucket with *phantom* vertices: no graph edges, no
+    children, identity rows in the Galerkin operator."""
+    b = base
+    while b < n:
+        b = _round_up(int(b * ratio) + 1, base)
+    return b
+
+
 class LevelData(NamedTuple):
     """Full record of one coarsening step (fine -> coarse)."""
     samples: np.ndarray          # (C,) fine ids of coarse seeds
@@ -55,27 +68,47 @@ class LevelData(NamedTuple):
 
 
 def coarsen_once(graph: Graph, cfg: MultigridConfig,
-                 scheme: Optional[int] = None) -> Optional[LevelData]:
+                 scheme: Optional[int] = None,
+                 n_valid_fine: Optional[int] = None) -> Optional[LevelData]:
     """One full coarsening step.  Returns None if the graph no longer
-    coarsens (fewer than 8 coarse points)."""
+    coarsens (fewer than 8 coarse points).
+
+    The coarse level is padded to a geometric size bucket with phantom
+    vertices (empty graph rows; never parents; position 0; zero U rows)
+    so that all per-level jitted stages compile once per bucket.
+    ``n_valid_fine`` marks the real prefix of an already-padded fine
+    graph: phantom fine vertices are never sampled (they are isolated,
+    so the greedy would otherwise select every one), never contribute
+    children, and get zero prolongation rows.  ``stats.n_coarse``
+    records the real count.
+    """
+    from gravomg_tpu.types import INVALID_INDEX
+
     scheme = cfg.weighting if scheme is None else scheme
+    if n_valid_fine is None:
+        n_valid_fine = graph.num_vertices
     radius = sampling_radius(graph, cfg.reduction_ratio)
-    samples = fast_disc_sample(graph, radius)
-    n_coarse = int(samples.shape[0])
-    if n_coarse < 8 or n_coarse >= graph.num_vertices:
+    sel_mask = np.asarray(fast_disc_sample_mask(graph, radius))
+    samples = np.nonzero(sel_mask[:n_valid_fine])[0].astype(np.int32)
+    n_real = int(samples.shape[0])
+    if n_real < 8 or n_real >= n_valid_fine:
         return None
-    parents, _ = assign_parents(graph, jnp.asarray(samples))
+    n_coarse = min(size_bucket(n_real), graph.num_vertices)
+    samples_pad = np.full(n_coarse, INVALID_INDEX, np.int32)
+    samples_pad[:n_real] = samples
+    samples_j = jnp.asarray(samples_pad)
+    parents, _ = assign_parents(graph, samples_j)
 
     # Coarse adjacency with doubling retry on pad overflow.
-    kc = _round_up(min(2 * graph.max_degree, max(n_coarse - 1, 8)))
+    kc = _round_up(min(2 * graph.max_degree, max(n_real - 1, 8)))
     while True:
         columns, overflow = extract_coarse_edges(graph, parents, n_coarse, kc)
-        if not bool(overflow) or kc >= n_coarse - 1:
+        if not bool(overflow) or kc >= n_real - 1:
             break
-        kc = min(_round_up(2 * kc), _round_up(n_coarse - 1))
+        kc = min(_round_up(2 * kc), _round_up(n_real - 1))
 
     coarse_points = coarse_from_mean_of_fine_children(
-        graph, parents, jnp.asarray(samples))
+        graph, parents, samples_j, n_valid_fine=n_valid_fine)
     cg = coarse_graph(columns, coarse_points)
 
     t_max = _round_up(4 * n_coarse, 64)
@@ -90,12 +123,16 @@ def coarsen_once(graph: Graph, cfg: MultigridConfig,
     u, counts = construct_prolongation(
         graph.points, parents, coarse_points, cg.neighbors, triangles,
         scheme=scheme)
+    if n_valid_fine < graph.num_vertices:
+        fine_ok = jnp.arange(graph.num_vertices) < n_valid_fine
+        u = u._replace(cols=jnp.where(fine_ok[:, None], u.cols, 0),
+                       weights=jnp.where(fine_ok[:, None], u.weights, 0.0))
     stats = HierarchyStats(
-        n_fine=graph.num_vertices, n_coarse=n_coarse,
+        n_fine=n_valid_fine, n_coarse=n_real,
         n_triangles=jnp.sum(triangles.mask),
         triangle_hits=counts[0], edge_fallbacks=counts[1],
         point_fallbacks=counts[2], radius=radius)
-    return LevelData(samples=samples, parents=parents, coarse=cg, u=u,
+    return LevelData(samples=samples_pad, parents=parents, coarse=cg, u=u,
                      stats=stats)
 
 
@@ -115,10 +152,11 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
 
     g = graph
     op = fine_op
+    n_real = graph.num_vertices
     for _ in range(cfg.max_levels - 1):
-        if g.num_vertices <= cfg.coarse_threshold:
+        if n_real <= cfg.coarse_threshold:
             break
-        ld = coarsen_once(g, cfg)
+        ld = coarsen_once(g, cfg, n_valid_fine=n_real)
         if ld is None:
             break
         kc2 = _round_up(2 * max(ld.coarse.max_degree, op.max_degree))
@@ -133,6 +171,7 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
         ops.append(coarse_op)
         g = ld.coarse
         op = coarse_op
+        n_real = int(ld.stats.n_coarse)
 
     solver_levels = []
     for i, o in enumerate(ops):

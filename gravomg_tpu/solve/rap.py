@@ -71,5 +71,11 @@ def galerkin_rap(op: EllOperator, u: Prolongation,
     off_vals = jnp.take_along_axis(off_vals, order, axis=1)
     off_cols = off_cols[:, :max_degree]
     off_vals = off_vals[:, :max_degree]
+    # Bucket-phantom coarse rows receive no contributions (their U
+    # columns are never referenced); give them identity diagonals so
+    # smoothers and the coarse Cholesky stay well-posed.  A genuinely
+    # zero diagonal cannot occur for an SPD fine operator with nonzero
+    # U rows.
+    diag = jnp.where(diag == 0.0, 1.0, diag)
     return (EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag),
             res.overflow)

@@ -24,22 +24,26 @@ def test_hierarchy_invariants(rng):
     assert len(h.levels) >= 2
     for li, ld in enumerate(h.levels):
         fine_graph = h.graphs[li]
-        n_fine = fine_graph.num_vertices
+        n_fine = int(ld.stats.n_fine)        # real fine count (pre-pad)
+        n_real = int(ld.stats.n_coarse)      # bucket-padded beyond this
         n_coarse = ld.coarse.num_vertices
 
-        # Partition sanity (`test/main.cpp:80-85` oracle 2).
-        par = np.asarray(ld.parents)
-        assert par.shape == (n_fine,)
-        assert par.min() >= 0 and par.max() < n_coarse
+        # Partition sanity (`test/main.cpp:80-85` oracle 2).  Parents
+        # always land on real coarse ids, never on bucket phantoms.
+        par = np.asarray(ld.parents)[:n_fine]
+        assert par.min() >= 0 and par.max() < n_real
         # Every coarse cell owns its seed.
-        np.testing.assert_array_equal(par[ld.samples],
-                                      np.arange(n_coarse))
+        np.testing.assert_array_equal(par[ld.samples[:n_real]],
+                                      np.arange(n_real))
+        # Phantom rows are empty.
+        cn_all = np.asarray(ld.coarse.neighbors)
+        assert (cn_all[n_real:] == g.INVALID_INDEX).all()
 
         # Row-stochastic U, 1-3 nnz (oracle 3; §2.1-C12 invariants).
-        w = np.asarray(ld.u.weights)
+        w = np.asarray(ld.u.weights)[:n_fine]
         np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-10)
-        cols = np.asarray(ld.u.cols)
-        assert cols.min() >= 0 and cols.max() < n_coarse
+        cols = np.asarray(ld.u.cols)[:n_fine]
+        assert cols.min() >= 0 and cols.max() < n_real
 
         # Support: each row's columns are the parent or its coarse
         # neighbors (§2.1-C12 invariant).
@@ -53,13 +57,14 @@ def test_hierarchy_invariants(rng):
         # Projection residual bounded by a few sampling radii
         # (oracle 1, `test/main.cpp:147-156`).
         proj = np.asarray(g.projected_points(ld.u, ld.coarse.points))
-        res = np.linalg.norm(proj - np.asarray(fine_graph.points), axis=1)
+        res = np.linalg.norm((proj - np.asarray(fine_graph.points))[:n_fine],
+                             axis=1)
         assert res.max() < 5.0 * float(ld.stats.radius)
 
         # Coarse graph nonempty and symmetric (oracle 4).
         deg = np.asarray(ld.coarse.degrees)
-        assert deg.max() > 0
-        for c in range(n_coarse):
+        assert deg[:n_real].min() > 0
+        for c in range(n_real):
             for q in cn[c][cn[c] != INVALID_INDEX]:
                 assert c in set(cn[q][cn[q] != INVALID_INDEX])
 
