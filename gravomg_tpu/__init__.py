@@ -24,6 +24,7 @@ from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
 from gravomg_tpu.config import MultigridConfig
 from gravomg_tpu.geometry.transforms import scale_mesh
 from gravomg_tpu.geometry.knn import knn_graph, graph_from_edges
+from gravomg_tpu.geometry.gridknn import grid_knn_graph
 from gravomg_tpu.geometry.laplacian import (cotan_laplacian, extract_edges,
                                             graph_laplacian,
                                             to_edge_distance_graph)
