@@ -42,6 +42,7 @@ def extract_coarse_edges(graph: Graph, parents: jax.Array, n_coarse: int,
     return res.columns, res.overflow
 
 
+@jax.jit
 def coarse_graph(columns: jax.Array, coarse_points: jax.Array) -> Graph:
     """Assemble a Graph for the coarse level with Euclidean distances."""
     mask = columns != INVALID_INDEX

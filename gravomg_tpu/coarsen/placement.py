@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from gravomg_tpu.types import Graph
 
+import functools
 
+
+@functools.partial(jax.jit, static_argnames=("n_valid_fine",))
 def coarse_from_mean_of_fine_children(
         graph: Graph, parents: jax.Array, coarse_samples: jax.Array,
         n_valid_fine: int | None = None,

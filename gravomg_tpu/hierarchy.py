@@ -99,13 +99,21 @@ def coarsen_once(graph: Graph, cfg: MultigridConfig,
     samples_j = jnp.asarray(samples_pad)
     parents, _ = assign_parents(graph, samples_j)
 
-    # Coarse adjacency with doubling retry on pad overflow.
+    # Coarse adjacency with doubling retry on pad overflow, then sliced
+    # down to the actual max degree (rounded to a small bucket): padded
+    # K would otherwise compound across levels and blow up the K^2/K^3
+    # costs of triangle enumeration and prolongation.
     kc = _round_up(min(2 * graph.max_degree, max(n_real - 1, 8)))
     while True:
         columns, overflow = extract_coarse_edges(graph, parents, n_coarse, kc)
         if not bool(overflow) or kc >= n_real - 1:
             break
         kc = min(_round_up(2 * kc), _round_up(n_real - 1))
+    from gravomg_tpu.types import INVALID_INDEX as _INV
+    actual_kc = int(jnp.max(jnp.sum(columns != _INV, axis=1)))
+    kc_tight = min(_round_up(max(actual_kc, 4)), kc)
+    columns = columns[:, :kc_tight]
+    kc = kc_tight
 
     coarse_points = coarse_from_mean_of_fine_children(
         graph, parents, samples_j, n_valid_fine=n_valid_fine)
@@ -166,6 +174,14 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
                 break
             kc2 = min(_round_up(2 * kc2),
                       _round_up(ld.coarse.num_vertices))
+        # Slice the operator down to its actual max degree bucket
+        # (valid entries are an ascending prefix per row).
+        from gravomg_tpu.types import INVALID_INDEX as _INV
+        actual = int(jnp.max(jnp.sum(coarse_op.neighbors != _INV, axis=1)))
+        kt = min(_round_up(max(actual, 4)), kc2)
+        coarse_op = coarse_op._replace(
+            neighbors=coarse_op.neighbors[:, :kt],
+            offdiag=coarse_op.offdiag[:, :kt])
         level_data.append(ld)
         graphs.append(ld.coarse)
         ops.append(coarse_op)

@@ -202,6 +202,7 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
     return jax.vmap(per_point)(fine_points, parents)
 
 
+@functools.partial(jax.jit, static_argnames=("scheme", "block"))
 def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
                            coarse_points: jax.Array, coarse_nbr: jax.Array,
                            triangles: TriangleSet,

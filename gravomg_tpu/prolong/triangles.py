@@ -60,12 +60,20 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
 
     # Adjacency membership: v2 in neighbors(v1)?  (C, K, K) test against
     # the gathered rows of v1 -> (C, K, K, K) compare, chunked over C.
+    raw = coarse.neighbors                             # sorted, INT_MAX pad
+
     def member_chunk(args):
-        nbrc, pmc = args                               # (cc, K), (cc, K, K)
-        rows_v1 = nbr[nbrc]                            # (cc, K, K_inner)
-        # exists[c, k1, k2] = v2 in neighbors(v1)
-        exists = jnp.any(
-            rows_v1[:, :, None, :] == nbrc[:, None, :, None], axis=-1)
+        nbrc, rawc, pmc = args          # (cc, K), (cc, K), (cc, K, K)
+        rows_v1 = raw[nbrc]                            # (cc, K, K_inner)
+        # exists[c, k1, k2] = v2 in neighbors(v1), via binary search in
+        # the ascending row of v1 (O(K^2 log K) per vertex instead of
+        # the O(K^3) all-pairs compare).
+        search = jax.vmap(jax.vmap(jnp.searchsorted, in_axes=(0, None)),
+                          in_axes=(0, 0))
+        pos = search(rows_v1, rawc)                    # (cc, K_1, K_2)
+        found = jnp.take_along_axis(rows_v1, jnp.minimum(pos, k - 1),
+                                    axis=2)
+        exists = found == rawc[:, None, :]
         return pmc & exists
 
     chunk = max(1, min(c, 4096))
@@ -79,6 +87,7 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
     tri_mask = jax.lax.map(
         member_chunk,
         (padc(nbr).reshape(-1, chunk, k),
+         padc(raw, 0).reshape(-1, chunk, k),
          padc(pair_mask, False).reshape(-1, chunk, k, k)),
     ).reshape(cpad, k, k)[:c]
 
