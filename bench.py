@@ -133,6 +133,12 @@ def main():
     npz, meta = build_and_baseline(SUBDIV)
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
     import gravomg_tpu as g
