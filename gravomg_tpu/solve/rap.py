@@ -22,13 +22,114 @@ from gravomg_tpu.types import EllOperator, Prolongation, INVALID_INDEX
 from gravomg_tpu.ops.segment import build_ell_rows
 
 
-@functools.partial(jax.jit, static_argnames=("max_degree",))
-def galerkin_rap(op: EllOperator, u: Prolongation,
-                 max_degree: int) -> Tuple[EllOperator, jax.Array]:
+def galerkin_rap(op: EllOperator, u: Prolongation, max_degree: int,
+                 chunk_rows: int = 300_000) -> Tuple[EllOperator, jax.Array]:
     """Compute A_c = U^T A U as an ELL operator with static max_degree.
 
-    Returns (A_c, overflow flag).
+    Dispatches to the single-shot kernel when the triplet stream fits a
+    memory budget, else to a chunked variant that processes fine rows in
+    blocks and merges partial ELL accumulators (peak memory O(chunk * K)
+    instead of O(V * K)).  Returns (A_c, overflow flag).
     """
+    vf, k = op.neighbors.shape
+    if vf <= chunk_rows:
+        out, ovf = _galerkin_rap_full(op, u, max_degree)
+        # Bucket-phantom coarse rows receive no contributions; identity
+        # diagonals keep smoothers / Cholesky well-posed (cannot occur
+        # for real rows of an SPD operator).
+        out = out._replace(diag=jnp.where(out.diag == 0.0, 1.0, out.diag))
+        return out, ovf
+    return _galerkin_rap_chunked(op, u, max_degree, chunk_rows)
+
+
+def _merge_ell(cols_a, vals_a, cols_b, vals_b, num_rows, out_cols):
+    """Merge two ELL accumulators (same row space) with add-combine."""
+    cat_cols = jnp.concatenate([cols_a, cols_b], axis=1)
+    cat_vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    kk = cat_cols.shape[1]
+    rows = jnp.broadcast_to(
+        jnp.arange(num_rows, dtype=jnp.int32)[:, None], (num_rows, kk))
+    valid = cat_cols != INVALID_INDEX
+    res = build_ell_rows(rows.reshape(-1), cat_cols.reshape(-1),
+                         valid.reshape(-1), num_rows, out_cols,
+                         values=cat_vals.reshape(-1), combine="add")
+    return res.columns, res.values, res.overflow
+
+
+@functools.partial(jax.jit, static_argnames=("max_degree", "chunk_rows"))
+def _galerkin_rap_chunked(op: EllOperator, u: Prolongation,
+                          max_degree: int, chunk_rows: int):
+    vf, k = op.neighbors.shape
+    nc = u.n_coarse
+    n_chunks = -(-vf // chunk_rows)
+    vpad = n_chunks * chunk_rows
+
+    def pad_rows(a, fill):
+        return jnp.pad(a, ((0, vpad - vf),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    nbr_p = pad_rows(op.neighbors, INVALID_INDEX)
+    off_p = pad_rows(op.offdiag, 0)
+    diag_p = pad_rows(op.diag, 0)
+    uc_p = pad_rows(u.cols, 0)
+    uw_p = pad_rows(u.weights, 0)
+
+    acc_cols = jnp.full((nc, max_degree + 1), INVALID_INDEX, jnp.int32)
+    acc_vals = jnp.zeros((nc, max_degree + 1), op.offdiag.dtype)
+
+    def body(carry, c0):
+        acc_cols, acc_vals, ovf = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk_rows,
+                                                    chunk_rows)
+        sub = EllOperator(sl(nbr_p), sl(off_p), sl(diag_p))
+        sub_u = Prolongation(sl(uc_p), sl(uw_p), nc)
+        # Padded rows have zero U weights and masked neighbors -> no
+        # contribution; their diag contributes to (0, 0) with value 0.
+        # Column-side U gathers must use the FULL U (neighbor ids are
+        # global), only the row side is chunk-local.
+        part, o1 = _rap_rows(sub, sub_u, u.cols, u.weights, max_degree)
+        part_cols = jnp.concatenate(
+            [jnp.where(part.diag != 0.0,
+                       jnp.arange(nc, dtype=jnp.int32),
+                       INVALID_INDEX)[:, None], part.neighbors], axis=1)
+        part_vals = jnp.concatenate(
+            [jnp.where(part.diag != 0.0, part.diag, 0.0)[:, None],
+             part.offdiag], axis=1)
+        cols2, vals2, o2 = _merge_ell(acc_cols, acc_vals, part_cols,
+                                      part_vals, nc, max_degree + 1)
+        return (cols2, vals2, ovf | o1 | o2), None
+
+    (acc_cols, acc_vals, ovf), _ = jax.lax.scan(
+        body, (acc_cols, acc_vals, jnp.bool_(False)),
+        jnp.arange(n_chunks))
+
+    cmask = acc_cols != INVALID_INDEX
+    is_diag = cmask & (acc_cols
+                       == jnp.arange(nc, dtype=jnp.int32)[:, None])
+    diag = jnp.sum(jnp.where(is_diag, acc_vals, 0.0), axis=1)
+    off_cols = jnp.where(is_diag, INVALID_INDEX, acc_cols)
+    off_vals = jnp.where(is_diag, 0.0, acc_vals)
+    order = jnp.argsort(off_cols, axis=1, stable=True)
+    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
+    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
+    diag = jnp.where(diag == 0.0, 1.0, diag)
+    return (EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag),
+            ovf)
+
+
+@functools.partial(jax.jit, static_argnames=("max_degree",))
+def _galerkin_rap_full(op: EllOperator, u: Prolongation,
+                       max_degree: int) -> Tuple[EllOperator, jax.Array]:
+    return _rap_rows(op, u, u.cols, u.weights, max_degree)
+
+
+@functools.partial(jax.jit, static_argnames=("max_degree",))
+def _rap_rows(op: EllOperator, u: Prolongation, all_uc: jax.Array,
+              all_uw: jax.Array,
+              max_degree: int) -> Tuple[EllOperator, jax.Array]:
+    """RAP contributions of ``op``'s rows.  ``u`` holds the row-side U
+    entries (aligned with op's rows); ``all_uc``/``all_uw`` the full U
+    table indexed by op's (global) neighbor ids."""
     vf, k = op.neighbors.shape
     nc = u.n_coarse
     safe = op.safe_neighbors()
@@ -36,8 +137,8 @@ def galerkin_rap(op: EllOperator, u: Prolongation,
 
     uc = u.cols                                   # (Vf, 3)
     uw = u.weights                                # (Vf, 3)
-    uc_j = uc[safe]                               # (Vf, K, 3)
-    uw_j = uw[safe]                               # (Vf, K, 3)
+    uc_j = all_uc[safe]                           # (Vf, K, 3)
+    uw_j = all_uw[safe]                           # (Vf, K, 3)
 
     # Off-diagonal contributions: (Vf, K, 3, 3)
     rows_off = jnp.broadcast_to(uc[:, None, :, None], (vf, k, 3, 3))
@@ -71,11 +172,5 @@ def galerkin_rap(op: EllOperator, u: Prolongation,
     off_vals = jnp.take_along_axis(off_vals, order, axis=1)
     off_cols = off_cols[:, :max_degree]
     off_vals = off_vals[:, :max_degree]
-    # Bucket-phantom coarse rows receive no contributions (their U
-    # columns are never referenced); give them identity diagonals so
-    # smoothers and the coarse Cholesky stay well-posed.  A genuinely
-    # zero diagonal cannot occur for an SPD fine operator with nonzero
-    # U rows.
-    diag = jnp.where(diag == 0.0, 1.0, diag)
     return (EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag),
             res.overflow)

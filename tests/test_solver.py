@@ -135,3 +135,19 @@ def test_chebyshev_hierarchy_converges(rng):
     x, rel, it = g.solve(h.solver, b, cfg)
     assert float(rel) < cfg.tolerance
     assert int(it) < 40
+
+
+def test_galerkin_rap_chunked_matches_full(rng):
+    from gravomg_tpu.solve.rap import _galerkin_rap_chunked
+    op, dense = _random_ell_spd(rng, n=300)
+    nc = 40
+    cols = rng.integers(0, nc, size=(300, 3)).astype(np.int32)
+    w = rng.random(size=(300, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    full, o1 = g.galerkin_rap(op, u, nc)
+    chunked, o2 = _galerkin_rap_chunked(op, u, nc, 64)
+    assert not bool(o1) and not bool(o2)
+    np.testing.assert_allclose(np.asarray(chunked.as_dense()),
+                               np.asarray(full.as_dense()),
+                               rtol=1e-10, atol=1e-12)
