@@ -20,6 +20,10 @@ class MultigridConfig:
     weighting: int = BARYCENTRIC      # Weighting enum (`multigrid.h:12-16`)
     max_levels: int = 8
     coarse_threshold: int = 512       # stop coarsening; dense-solve below this
+    degree_multiple: int = 8          # round max degrees up to this multiple;
+                                      # raise (e.g. 16/32) so same-family
+                                      # meshes share shape buckets for
+                                      # batched/vmapped solves
     # --- smoothing ---
     smoother: str = "jacobi"          # "jacobi" | "chebyshev"
     pre_smooth: int = 2

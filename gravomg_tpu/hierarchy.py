@@ -111,7 +111,7 @@ def coarsen_once(graph: Graph, cfg: MultigridConfig,
         kc = min(_round_up(2 * kc), _round_up(n_real - 1))
     from gravomg_tpu.types import INVALID_INDEX as _INV
     actual_kc = int(jnp.max(jnp.sum(columns != _INV, axis=1)))
-    kc_tight = min(_round_up(max(actual_kc, 4)), kc)
+    kc_tight = min(_round_up(max(actual_kc, 4), cfg.degree_multiple), kc)
     columns = columns[:, :kc_tight]
     kc = kc_tight
 
@@ -178,7 +178,7 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
         # (valid entries are an ascending prefix per row).
         from gravomg_tpu.types import INVALID_INDEX as _INV
         actual = int(jnp.max(jnp.sum(coarse_op.neighbors != _INV, axis=1)))
-        kt = min(_round_up(max(actual, 4)), kc2)
+        kt = min(_round_up(max(actual, 4), cfg.degree_multiple), kc2)
         coarse_op = coarse_op._replace(
             neighbors=coarse_op.neighbors[:, :kt],
             offdiag=coarse_op.offdiag[:, :kt])
