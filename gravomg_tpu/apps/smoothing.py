@@ -34,9 +34,8 @@ def implicit_smooth(graph: Graph, h: Hierarchy, t_factor: float = 1.0,
 
     pts = graph.points
     for _ in range(steps):
-        cols = []
-        for d in range(pts.shape[1]):
-            x, _, _ = solve(sh, mass * pts[:, d], cfg)
-            cols.append(x)
-        pts = jnp.stack(cols, axis=1)
+        # Multi-RHS solve: all three coordinates in one V-cycle sweep
+        # (SpMV, smoothers, transfers and the coarse solve all accept
+        # (V, D) right-hand sides).
+        pts, _, _ = solve(sh, mass[:, None] * pts, cfg)
     return pts

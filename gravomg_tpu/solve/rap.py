@@ -137,26 +137,34 @@ def _rap_rows(op: EllOperator, u: Prolongation, all_uc: jax.Array,
 
     uc = u.cols                                   # (Vf, 3)
     uw = u.weights                                # (Vf, 3)
-    uc_j = all_uc[safe]                           # (Vf, K, 3)
-    uw_j = all_uw[safe]                           # (Vf, K, 3)
 
-    # Off-diagonal contributions: (Vf, K, 3, 3)
-    rows_off = jnp.broadcast_to(uc[:, None, :, None], (vf, k, 3, 3))
-    cols_off = jnp.broadcast_to(uc_j[:, :, None, :], (vf, k, 3, 3))
-    vals_off = (a_off[:, :, None, None]
-                * uw[:, None, :, None] * uw_j[:, :, None, :])
-    valid_off = jnp.broadcast_to(op.mask[:, :, None, None], (vf, k, 3, 3))
-
-    # Diagonal contributions: (Vf, 3, 3)
-    rows_d = jnp.broadcast_to(uc[:, :, None], (vf, 3, 3))
-    cols_d = jnp.broadcast_to(uc[:, None, :], (vf, 3, 3))
-    vals_d = op.diag[:, None, None] * uw[:, :, None] * uw[:, None, :]
-
-    rows = jnp.concatenate([rows_off.reshape(-1), rows_d.reshape(-1)])
-    cols = jnp.concatenate([cols_off.reshape(-1), cols_d.reshape(-1)])
-    vals = jnp.concatenate([vals_off.reshape(-1), vals_d.reshape(-1)])
-    valid = jnp.concatenate([valid_off.reshape(-1),
-                             jnp.ones(vf * 9, bool)])
+    # Emit the 9 (a, b) U-pair contributions as flat 1-D streams.  A
+    # fused (Vf, K, 3, 3) broadcast would tile-pad its trailing (3, 3)
+    # dims to (8, 128) on TPU -- a 57x memory blowup that OOMs at scale;
+    # 1-D and (Vf, K) temps pad benignly.
+    rows_l, cols_l, vals_l, valid_l = [], [], [], []
+    flat_mask = op.mask.reshape(-1)
+    for a in range(3):
+        r_a = jnp.broadcast_to(uc[:, a][:, None], (vf, k)).reshape(-1)
+        w_a = uw[:, a][:, None]
+        for b in range(3):
+            c_b = all_uc[:, b][safe].reshape(-1)
+            v_ab = (a_off * w_a * all_uw[:, b][safe]).reshape(-1)
+            rows_l.append(r_a)
+            cols_l.append(c_b)
+            vals_l.append(v_ab)
+            valid_l.append(flat_mask)
+    # Diagonal contributions.
+    for a in range(3):
+        for b in range(3):
+            rows_l.append(uc[:, a])
+            cols_l.append(uc[:, b])
+            vals_l.append(op.diag * uw[:, a] * uw[:, b])
+            valid_l.append(jnp.ones(vf, bool))
+    rows = jnp.concatenate(rows_l)
+    cols = jnp.concatenate(cols_l)
+    vals = jnp.concatenate(vals_l)
+    valid = jnp.concatenate(valid_l)
 
     res = build_ell_rows(rows, cols, valid, nc, max_degree + 1,
                          values=vals, combine="add")

@@ -151,3 +151,15 @@ def test_galerkin_rap_chunked_matches_full(rng):
     np.testing.assert_allclose(np.asarray(chunked.as_dense()),
                                np.asarray(full.as_dense()),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_multi_rhs_vcycle_solve(rng):
+    h, cfg, spd = _sphere_hierarchy(rng)
+    bs = jnp.asarray(rng.normal(size=(spd.num_vertices, 3)))
+    xs, rel, it = g.solve(h.solver, bs, cfg)
+    assert float(rel) < cfg.tolerance
+    for d in range(3):
+        xd, _, _ = g.solve(h.solver, bs[:, d], cfg)
+        r = float(jnp.linalg.norm(g.spmv(spd, xs[:, d]) - bs[:, d])
+                  / jnp.linalg.norm(bs[:, d]))
+        assert r < 10 * cfg.tolerance
