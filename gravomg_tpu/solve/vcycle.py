@@ -91,6 +91,33 @@ def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     return x, rel, it
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_with_history(h: SolverHierarchy, b: jax.Array,
+                       cfg: MultigridConfig):
+    """Like :func:`solve`, additionally returning the per-cycle relative
+    residual trace (length cfg.max_cycles, +inf beyond convergence) --
+    the solver-observability surface SURVEY.md §5 calls for."""
+    a0 = h.levels[0].op
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    hist0 = jnp.full((cfg.max_cycles,), jnp.inf, b.dtype)
+
+    def cond(state):
+        x, it, rel, hist = state
+        return (rel > cfg.tolerance) & (it < cfg.max_cycles)
+
+    def body(state):
+        x, it, _, hist = state
+        x = v_cycle(h, x, b, cfg)
+        rel = jnp.linalg.norm(b - spmv(a0, x)) / bnorm
+        return x, it + 1, rel, hist.at[it].set(rel)
+
+    x0 = jnp.zeros_like(b)
+    rel0 = jnp.linalg.norm(b) / bnorm
+    x, it, rel, hist = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), rel0, hist0))
+    return x, rel, it, hist
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "inner_cycles"))
 def solve_refined(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
                   inner_cycles: int = 2):
