@@ -131,8 +131,18 @@ def grid_knn_graph(points: jax.Array, k: int,
         attempts += 1
         if attempts > 12:
             return knn_graph(points, k, max_degree=max_degree)
-        grid_dim = max(2, min(512, int(np.ceil(extent / edge)) + 1))
-        cell_edge = jnp.asarray(extent / grid_dim + 1e-9, points.dtype)
+        # Bucket the static grid parameters (powers of two for grid_dim,
+        # multiples of 16 for capacity) so repeated builds at similar
+        # scales reuse compiled kernels.  The cell edge follows the
+        # continuous retry parameter exactly (tail cells beyond the
+        # bounding box stay empty); grid_dim >= 512 instead clamps the
+        # edge up so the grid still covers the cloud.
+        grid_dim = 1 << max(1, int(np.ceil(extent / edge)) + 1
+                            ).bit_length()
+        grid_dim = max(2, min(512, grid_dim))
+        if grid_dim * edge < extent:
+            edge = extent / grid_dim * 1.0001
+        cell_edge = jnp.asarray(edge, points.dtype)
         # Estimate capacity from the actual histogram (host-side, cheap).
         coords = np.clip(((pts_np - lo) / float(cell_edge)).astype(np.int64),
                          0, grid_dim - 1)
@@ -145,7 +155,7 @@ def grid_knn_graph(points: jax.Array, k: int,
             continue
         idx, short = _grid_knn_indices(
             points, k, cell_edge, jnp.asarray(lo, points.dtype),
-            grid_dim, ((cap + 7) // 8) * 8)
+            grid_dim, ((cap + 15) // 16) * 16)
         if not bool(short):
             break
         edge *= 1.5   # not enough candidates in the 27-cell window
