@@ -151,8 +151,16 @@ class Hierarchy(NamedTuple):
     solver: SolverHierarchy
 
 
+class DegenerateHierarchyError(RuntimeError):
+    """Raised when a level's prolongation is dominated by point
+    fallbacks.  Replaces the reference's crash-guard
+    ``assert(fallbackCount / n_fine < 0.5)`` (`src/multigrid.cpp:488`)
+    with a checked, diagnosable error (SURVEY.md §5)."""
+
+
 def build_hierarchy(graph: Graph, fine_op: EllOperator,
-                    cfg: MultigridConfig = MultigridConfig()) -> Hierarchy:
+                    cfg: MultigridConfig = MultigridConfig(),
+                    validate: bool = True) -> Hierarchy:
     """Build the full multilevel hierarchy from a fine graph + operator."""
     graphs: List[Graph] = [graph]
     level_data: List[LevelData] = []
@@ -167,6 +175,15 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
         ld = coarsen_once(g, cfg, n_valid_fine=n_real)
         if ld is None:
             break
+        if validate:
+            frac = float(ld.stats.point_fallbacks) / max(
+                int(ld.stats.n_fine), 1)
+            if frac >= 0.5:
+                raise DegenerateHierarchyError(
+                    f"level {len(level_data)}: {frac:.0%} of fine points "
+                    f"used the nearest-point fallback "
+                    f"(stats: {ld.stats!r}); the coarse graph is too "
+                    f"disconnected for barycentric prolongation")
         kc2 = _round_up(2 * max(ld.coarse.max_degree, op.max_degree))
         while True:
             coarse_op, overflow = galerkin_rap(op, ld.u, kc2)

@@ -44,6 +44,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# Safety-net modes (SURVEY.md §5: the sanitizer analogue): run the suite
+# with GRAVOMG_DEBUG_NANS=1 / GRAVOMG_DISABLE_JIT=1 to catch NaNs at
+# their source or to exercise op-by-op semantics.
+if os.environ.get("GRAVOMG_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+if os.environ.get("GRAVOMG_DISABLE_JIT") == "1":
+    jax.config.update("jax_disable_jit", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
