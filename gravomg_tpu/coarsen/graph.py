@@ -26,8 +26,13 @@ from gravomg_tpu.ops.segment import build_ell_rows
 
 @functools.partial(jax.jit, static_argnames=("n_coarse", "max_degree"))
 def extract_coarse_edges(graph: Graph, parents: jax.Array, n_coarse: int,
-                         max_degree: int) -> Tuple[jax.Array, jax.Array]:
+                         max_degree: int,
+                         fine_valid=None) -> Tuple[jax.Array, jax.Array]:
     """Build the coarse adjacency pattern.
+
+    ``fine_valid``: optional (V,) bool marking real (non-phantom) fine
+    vertices; phantom rows contribute no coarse edges (their parents are
+    unset garbage in the fully-device-resident build).
 
     Returns:
       (columns (n_coarse, max_degree) int32 ascending with INVALID_INDEX
@@ -37,6 +42,8 @@ def extract_coarse_edges(graph: Graph, parents: jax.Array, n_coarse: int,
     rows = jnp.broadcast_to(parents[:, None], (v, k))
     cols = parents[graph.safe_neighbors()]
     valid = graph.mask & (rows != cols)
+    if fine_valid is not None:
+        valid &= fine_valid[:, None]
     res = build_ell_rows(rows.reshape(-1), cols.reshape(-1),
                          valid.reshape(-1), n_coarse, max_degree)
     return res.columns, res.overflow

@@ -25,17 +25,20 @@ import functools
 @functools.partial(jax.jit, static_argnames=("n_valid_fine",))
 def coarse_from_mean_of_fine_children(
         graph: Graph, parents: jax.Array, coarse_samples: jax.Array,
-        n_valid_fine: int | None = None,
+        n_valid_fine: int | None = None, fine_valid=None,
 ) -> jax.Array:
     """Returns (C, 3) coarse positions.
 
-    ``n_valid_fine`` excludes bucket-phantom fine vertices (rows beyond
-    the real count) from every cell average.
+    ``n_valid_fine`` (static prefix length) or ``fine_valid`` (dynamic
+    (V,) bool mask, used by the device-resident build) excludes
+    bucket-phantom fine vertices from every cell average.
     """
     points = graph.points
     c = coarse_samples.shape[0]
     v = points.shape[0]
-    if n_valid_fine is not None and n_valid_fine < v:
+    if fine_valid is not None:
+        scatter_par = jnp.where(fine_valid, parents, c)
+    elif n_valid_fine is not None and n_valid_fine < v:
         fine_ok = jnp.arange(v) < n_valid_fine
         scatter_par = jnp.where(fine_ok, parents, c)
     else:

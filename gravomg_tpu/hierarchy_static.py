@@ -1,0 +1,172 @@
+"""Device-resident hierarchy construction: zero host synchronization.
+
+Rationale: under the TPU runtime used here, *any* device-to-host
+transfer permanently switches the process into a ~48 ms-per-launch
+dispatch mode (measured; see PROGRESS.md).  The staged builder
+(hierarchy.py) syncs sizes between levels and so pays that tax on every
+subsequent launch.  This builder instead fixes all shapes **up front**
+from a conservative static level plan and keeps every intermediate --
+including data-dependent coarse counts -- on device as padded arrays
+with dynamic validity masks.  Nothing is transferred until the caller
+inspects the returned diagnostics, so the entire build (and any
+subsequent solves) runs at full dispatch speed.
+
+Semantics are identical to the staged builder given sufficient caps:
+real entries occupy validity-masked prefixes, phantoms are inert
+(no edges, no children, zero U rows, identity Galerkin rows).  Cap
+overflows are accumulated in a device-side diagnostics pytree; callers
+check it once at the end (and fall back to the staged builder if it
+fired).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import (EllOperator, Graph, Prolongation,
+                               INVALID_INDEX)
+from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
+                                          sampling_radius)
+from gravomg_tpu.coarsen.parents import assign_parents
+from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
+from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
+from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
+from gravomg_tpu.prolong.operator import construct_prolongation
+from gravomg_tpu.solve.rap import galerkin_rap
+from gravomg_tpu.solve.coarse import factor_coarse
+from gravomg_tpu.solve.smoothers import ChebyshevParams
+from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel
+from gravomg_tpu.hierarchy import Hierarchy, LevelData, size_bucket
+from gravomg_tpu.types import HierarchyStats
+
+
+class LevelDiagnostics(NamedTuple):
+    """Device-side per-level health flags; read once, at the end."""
+    n_real: jax.Array           # () int32 actual coarse count
+    cap_overflow: jax.Array     # () bool: coarse cap too small
+    edge_overflow: jax.Array    # () bool: kc_cap too small
+    tri_overflow: jax.Array     # () bool: triangle/assoc caps too small
+    rap_overflow: jax.Array     # () bool: rap_cap too small
+    point_fallbacks: jax.Array  # () int32
+
+
+def plan_levels(v: int, cfg: MultigridConfig,
+                min_reduction: float = 2.5) -> List[int]:
+    """Conservative static coarse-size caps per level.  Disc sampling
+    with radius cbrt(ratio)*mean_edge reduces by ~4-13x in practice;
+    min_reduction=2.5 leaves generous headroom."""
+    caps = []
+    cur = v
+    while cur > cfg.coarse_threshold and len(caps) < cfg.max_levels - 1:
+        nxt = size_bucket(max(int(cur / min_reduction), 8))
+        if nxt >= cur:
+            break
+        caps.append(nxt)
+        cur = int(nxt / 2)   # plan with a typical (not worst-case) ratio
+    return caps
+
+
+def build_hierarchy_device(
+        graph: Graph, fine_op: EllOperator,
+        cfg: MultigridConfig = MultigridConfig(),
+        level_caps: Optional[Sequence[int]] = None,
+        kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
+        rap_cap: int = 96,
+) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
+    """Build the hierarchy without a single device-to-host transfer.
+
+    Returns (hierarchy, per-level diagnostics).  Call
+    :func:`check_diagnostics` afterwards (it syncs) to validate caps.
+    """
+    if level_caps is None:
+        level_caps = plan_levels(graph.num_vertices, cfg)
+
+    g = graph
+    fine_valid = jnp.ones((graph.num_vertices,), bool)
+    op = fine_op
+    graphs = [graph]
+    level_data: List[LevelData] = []
+    ops = [fine_op]
+    diags: List[LevelDiagnostics] = []
+
+    for cap in level_caps:
+        radius = sampling_radius(g, cfg.reduction_ratio)
+        mask = fast_disc_sample_mask(g, radius) & fine_valid
+        n_real = jnp.sum(mask).astype(jnp.int32)
+        raw = jnp.nonzero(mask, size=cap, fill_value=g.num_vertices)[0]
+        samples = jnp.where(raw < g.num_vertices, raw,
+                            INVALID_INDEX).astype(jnp.int32)
+        cap_overflow = n_real > cap
+
+        parents, _ = assign_parents(g, samples)
+        columns, e_ovf = extract_coarse_edges(
+            g, parents, cap, min(kc_cap, cap - 1), fine_valid=fine_valid)
+        coarse_points = coarse_from_mean_of_fine_children(
+            g, parents, samples, fine_valid=fine_valid)
+        cg = coarse_graph(columns, coarse_points)
+
+        t_max = tri_factor * cap
+        a_max = assoc_factor * min(kc_cap, cap - 1)
+        triangles, t_ovf = construct_voronoi_triangles(cg, t_max, a_max)
+
+        u, counts = construct_prolongation(
+            g.points, parents, coarse_points, cg.neighbors, triangles,
+            scheme=cfg.weighting)
+        u = u._replace(
+            cols=jnp.where(fine_valid[:, None], u.cols, 0),
+            weights=jnp.where(fine_valid[:, None], u.weights, 0.0))
+
+        coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
+
+        stats = HierarchyStats(
+            n_fine=g.num_vertices, n_coarse=n_real,
+            n_triangles=jnp.sum(triangles.mask),
+            triangle_hits=counts[0], edge_fallbacks=counts[1],
+            point_fallbacks=counts[2], radius=radius)
+        level_data.append(LevelData(
+            samples=samples, parents=parents, coarse=cg, u=u,
+            stats=stats))
+        diags.append(LevelDiagnostics(
+            n_real=n_real, cap_overflow=cap_overflow, edge_overflow=e_ovf,
+            tri_overflow=t_ovf, rap_overflow=r_ovf,
+            point_fallbacks=counts[2]))
+        graphs.append(cg)
+        ops.append(coarse_op)
+        fine_valid = samples != INVALID_INDEX
+        g = cg
+        op = coarse_op
+
+    solver_levels = []
+    for i, o in enumerate(ops):
+        u = level_data[i].u if i < len(level_data) else None
+        cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
+                if cfg.smoother == "chebyshev" else None)
+        solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb))
+    chol = factor_coarse(ops[-1])
+    solver = SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol)
+    return (Hierarchy(graphs=tuple(graphs), levels=tuple(level_data),
+                      solver=solver), diags)
+
+
+def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
+    """Validate cap adequacy.  This syncs to host -- call only after all
+    performance-critical work is done."""
+    for i, d in enumerate(diags):
+        problems = []
+        if bool(d.cap_overflow):
+            problems.append(f"coarse cap < real count {int(d.n_real)}")
+        if bool(d.edge_overflow):
+            problems.append("coarse-degree cap (kc_cap) overflow")
+        if bool(d.tri_overflow):
+            problems.append("triangle/assoc cap overflow")
+        if bool(d.rap_overflow):
+            problems.append("Galerkin degree cap (rap_cap) overflow")
+        if problems:
+            raise RuntimeError(
+                f"device-resident build level {i}: " + "; ".join(problems)
+                + " -- raise the caps or use the staged builder")

@@ -88,3 +88,22 @@ def test_hierarchy_serialization_roundtrip(rng, tmp_path):
 
 
 import jax  # noqa: E402  (used in serialization test)
+
+
+def test_device_resident_build_matches_staged(rng):
+    from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                              check_diagnostics)
+    pts = torus_points(1500, seed=6)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    cfg = g.MultigridConfig(coarse_threshold=60)
+    h1, diags = build_hierarchy_device(graph, spd, cfg)
+    check_diagnostics(diags)
+    h2 = g.build_hierarchy(graph, spd, cfg)
+    b = jnp.asarray(rng.normal(size=1500))
+    x1, rel1, it1 = g.solve(h1.solver, b, cfg)
+    x2, rel2, it2 = g.solve(h2.solver, b, cfg)
+    assert int(it1) == int(it2)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=1e-10, atol=1e-12)
