@@ -101,6 +101,54 @@ def _grid_knn_indices(points: jax.Array, k: int, cell_edge: jax.Array,
             jnp.any(short) | over_capacity)
 
 
+def grid_knn_graph_nosync(points_np: np.ndarray, k: int,
+                          max_degree: int | None = None,
+                          margin: float = 2.0):
+    """Grid kNN with all sizing decisions made host-side from the NumPy
+    copy -- performs NO device-to-host transfer (the runtime here
+    permanently degrades dispatch after any D2H; see PROGRESS.md).
+
+    Uses a single conservatively-sized attempt (cell edge = ``margin``
+    x the expected kth-neighbor distance); returns (Graph, shortfall)
+    where ``shortfall`` is a device-side bool diagnostic to check after
+    the performance-critical phase.
+    """
+    v = points_np.shape[0]
+    if max_degree is None:
+        max_degree = 2 * k
+    lo = points_np.min(axis=0)
+    hi = points_np.max(axis=0)
+    extent = float((hi - lo).max()) + 1e-12
+    area_density = v / (extent * extent)
+    edge = float(margin * np.sqrt(max(k, 9) / (np.pi * area_density)))
+    grid_dim = 1 << max(1, int(np.ceil(extent / edge)) + 1).bit_length()
+    grid_dim = max(2, min(512, grid_dim))
+    if grid_dim * edge < extent:
+        edge = extent / grid_dim * 1.0001
+    coords = np.clip(((points_np - lo) / edge).astype(np.int64),
+                     0, grid_dim - 1)
+    cid = (coords[:, 0] * grid_dim + coords[:, 1]) * grid_dim + coords[:, 2]
+    cap = int(np.bincount(cid, minlength=grid_dim**3).max())
+    cap = ((cap + 15) // 16) * 16
+
+    points = jnp.asarray(points_np)
+    idx, short = _grid_knn_indices(
+        points, k, jnp.asarray(edge, points.dtype),
+        jnp.asarray(lo, points.dtype), grid_dim, cap)
+    rows = jnp.repeat(jnp.arange(v, dtype=jnp.int32), k)
+    cols = idx.reshape(-1)
+    valid = cols != INVALID_INDEX
+    safe_cols = jnp.where(valid, cols, 0)
+    res = build_ell_rows(jnp.concatenate([rows, safe_cols]),
+                         jnp.concatenate([safe_cols, rows]),
+                         jnp.concatenate([valid, valid]), v, max_degree)
+    mask = res.columns != INVALID_INDEX
+    safe = jnp.where(mask, res.columns, 0)
+    dist = jnp.linalg.norm(points[:, None, :] - points[safe], axis=-1)
+    dist = jnp.where(mask, dist.astype(points.dtype), jnp.inf)
+    return Graph(res.columns, dist, points), short
+
+
 def grid_knn_graph(points: jax.Array, k: int,
                    max_degree: int | None = None,
                    target_per_cell: float = 3.0) -> Graph:
