@@ -119,8 +119,17 @@ def grid_knn_graph_nosync(points_np: np.ndarray, k: int,
     lo = points_np.min(axis=0)
     hi = points_np.max(axis=0)
     extent = float((hi - lo).max()) + 1e-12
-    area_density = v / (extent * extent)
-    edge = float(margin * np.sqrt(max(k, 9) / (np.pi * area_density)))
+    # Empirical kth-neighbor distance from a host-side query subsample
+    # (bounding-box density proxies misestimate curved surfaces).
+    rng = np.random.default_rng(0)
+    nq = min(256, v)
+    queries = points_np[rng.choice(v, nq, replace=False)].astype(np.float32)
+    kth = np.empty(nq, np.float32)
+    refs = points_np.astype(np.float32)
+    for i in range(nq):
+        d2 = np.sum((refs - queries[i]) ** 2, axis=1)
+        kth[i] = np.sqrt(np.partition(d2, k)[k])
+    edge = float(margin / 2.0 * 1.3 * kth.max())
     grid_dim = 1 << max(1, int(np.ceil(extent / edge)) + 1).bit_length()
     grid_dim = max(2, min(512, grid_dim))
     if grid_dim * edge < extent:
