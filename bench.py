@@ -1,16 +1,18 @@
 """Benchmark driver: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline metric (BASELINE.md): per-V-cycle wall time on a Poisson
-problem.  ``vs_baseline`` is the speedup over a CPU sparse (SciPy CSR)
-implementation of the same V-cycle on the same hierarchy -- the stand-in
-for the reference's C++/Eigen CPU execution model (the reference repo
-itself ships no solver and no benchmarks, BASELINE.md; SciPy CSR kernels
-are an optimized CPU sparse baseline of the same algorithm).
+Headline metric (BASELINE.md): per-V-cycle wall time on a screened-
+Poisson problem at GRAVOMG_BENCH_N vertices (default 1M -- BASELINE
+config 4 scale), measured on the TPU with the fully device-resident
+pipeline (grid kNN -> Laplacian -> hierarchy -> V-cycles) and **no
+device-to-host transfer before the timed region** (any D2H permanently
+degrades this runtime's dispatch to ~48 ms/launch; PROGRESS.md).
 
-Flow: a clean-environment CPU subprocess builds the hierarchy (the
-staged, sort-heavy part) and times the CPU baseline; the main process
-(TPU under the axon tunnel) times the jitted V-cycle.
+``vs_baseline`` is the speedup over a SciPy-CSR CPU implementation of
+the same V-cycle on the same-algorithm hierarchy -- the stand-in for
+the reference's C++/Eigen CPU execution model (the reference ships no
+solver or benchmarks, BASELINE.md).  The baseline runs in a clean-env
+CPU subprocess and is cached.
 """
 
 from __future__ import annotations
@@ -23,68 +25,57 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-SUBDIV = int(os.environ.get("GRAVOMG_BENCH_SUBDIV", "6"))  # 6 -> 40962
+BENCH_N = int(os.environ.get("GRAVOMG_BENCH_N", "1000000"))
 CYCLES = int(os.environ.get("GRAVOMG_BENCH_CYCLES", "20"))
 
-_BUILD_SCRIPT = r"""
-import json, os, sys, time
+_BASELINE_SCRIPT = r"""
+import json, sys, time
 import numpy as np
 import jax.numpy as jnp
 import gravomg_tpu as g
-from gravomg_tpu.geometry.meshes import icosphere
-from gravomg_tpu.io.serialization import save_solver
-
-subdiv, out_npz, out_json, cycles = (
-    int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]))
-rng = np.random.default_rng(0)
-v, f = icosphere(subdiv)
-v = (v + rng.normal(scale=1e-3, size=v.shape)).astype(np.float32)
-
-t0 = time.perf_counter()
-graph = g.knn_graph(jnp.asarray(v), k=16)
-t_knn = time.perf_counter() - t0
-lap, mass = g.graph_laplacian(graph, "invdist")
-spd = lap._replace(diag=lap.diag + 0.5 * mass)
-t0 = time.perf_counter()
-h = g.build_hierarchy(graph, spd, g.MultigridConfig(coarse_threshold=500))
-t_build = time.perf_counter() - t0
-save_solver(out_npz, h.solver)
-
-# ---- CPU baseline: SciPy CSR V-cycle on the same hierarchy ----
+from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+from gravomg_tpu.geometry.meshes import torus_points
 import scipy.sparse as sp
 import scipy.linalg as sla
 
-levels = []
-for lvl in h.solver.levels:
-    a = sp.csr_matrix(np.asarray(lvl.op.as_dense())) if lvl.op.num_vertices <= 2000 else None
-    levels.append(a)
+n, out_json, cycles = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+# The CPU baseline at full 1M would take ~an hour to build through the
+# JAX-CPU pipeline; build at a capped size and scale linearly (CSR
+# V-cycle cost is linear in nnz -- conservative for the CPU, which
+# suffers no cache penalty from the scaling).
+nb = min(n, 200000)
+pts = torus_points(nb, seed=1).astype(np.float32)
+graph, short = grid_knn_graph_nosync(pts, 16)
+assert not bool(short)
+lap, mass = g.graph_laplacian(graph, "invdist")
+spd = lap._replace(diag=lap.diag + 0.5*mass)
+cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
+h, diags = __import__("gravomg_tpu.hierarchy_static", fromlist=["x"]).\
+    build_hierarchy_device(graph, spd, cfg)
 
 def ell_to_csr(op):
-    import numpy as np
     v_, k_ = op.neighbors.shape
-    nbr = np.asarray(op.neighbors)
-    off = np.asarray(op.offdiag)
+    nbr = np.asarray(op.neighbors); off = np.asarray(op.offdiag)
     mask = nbr != g.INVALID_INDEX
     rows = np.repeat(np.arange(v_), k_)[mask.ravel()]
     cols = nbr.ravel()[mask.ravel()]
-    vals = off.ravel()[mask.ravel()]
-    m = sp.csr_matrix((vals, (rows, cols)), shape=(v_, v_))
-    m += sp.diags(np.asarray(op.diag))
-    return m
+    m = sp.csr_matrix((off.ravel()[mask.ravel()], (rows, cols)),
+                      shape=(v_, v_))
+    return m + sp.diags(np.asarray(op.diag))
 
 def u_to_csr(u):
     vf = u.cols.shape[0]
     rows = np.repeat(np.arange(vf), 3)
-    m = sp.csr_matrix((np.asarray(u.weights).ravel(),
-                       (rows, np.asarray(u.cols).ravel())),
-                      shape=(vf, u.n_coarse))
-    return m
+    return sp.csr_matrix((np.asarray(u.weights).ravel(),
+                          (rows, np.asarray(u.cols).ravel())),
+                         shape=(vf, u.n_coarse))
 
 As = [ell_to_csr(l.op) for l in h.solver.levels]
 Us = [u_to_csr(l.u) for l in h.solver.levels[:-1]]
 Dinv = [1.0 / A.diagonal() for A in As]
-chol = sla.cho_factor(As[-1].toarray() + 1e-10*np.abs(As[-1].diagonal()).max()*np.eye(As[-1].shape[0]))
-cfg = g.MultigridConfig()
+chol = sla.cho_factor(As[-1].toarray()
+                      + 1e-10*np.abs(As[-1].diagonal()).max()
+                      * np.eye(As[-1].shape[0]))
 
 def vcycle_cpu(lvl, x, b):
     if lvl == len(As) - 1:
@@ -99,38 +90,31 @@ def vcycle_cpu(lvl, x, b):
         x = x + cfg.jacobi_omega * dinv * (b - A @ x)
     return x
 
-b = rng.normal(size=v.shape[0])
-x = np.zeros_like(b)
-x = vcycle_cpu(0, x, b)  # warm caches
+b = np.random.default_rng(0).standard_normal(nb)
+x = vcycle_cpu(0, np.zeros(nb), b)
 t0 = time.perf_counter()
 for _ in range(cycles):
     x = vcycle_cpu(0, x, b)
-cpu_ms = (time.perf_counter() - t0) / cycles * 1000
-rel = np.linalg.norm(b - As[0] @ x) / np.linalg.norm(b)
-
-json.dump({"cpu_vcycle_ms": cpu_ms, "t_knn_cpu": t_knn,
-           "t_build_cpu": t_build, "n_fine": int(v.shape[0]),
-           "levels": [int(l.op.num_vertices) for l in h.solver.levels],
-           "cpu_residual_after": float(rel)}, open(out_json, "w"))
+cpu_ms = (time.perf_counter() - t0) / cycles * 1000 * (n / nb)
+json.dump({"cpu_vcycle_ms": cpu_ms, "baseline_n": nb,
+           "scaled_to_n": n}, open(out_json, "w"))
 """
 
 
-def build_and_baseline(subdiv: int):
+def cpu_baseline(n: int) -> dict:
     os.makedirs(CACHE, exist_ok=True)
-    npz = os.path.join(CACHE, f"bench_h{subdiv}.npz")
-    meta = os.path.join(CACHE, f"bench_h{subdiv}.json")
-    if not (os.path.exists(npz) and os.path.exists(meta)):
+    meta = os.path.join(CACHE, f"baseline_{n}.json")
+    if not os.path.exists(meta):
         env = dict(os.environ)
         env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
                     "JAX_ENABLE_X64": "0"})
-        subprocess.run([sys.executable, "-c", _BUILD_SCRIPT, str(subdiv),
-                        npz, meta, str(CYCLES)],
-                       check=True, env=env, cwd=REPO)
-    return npz, json.load(open(meta))
+        subprocess.run([sys.executable, "-c", _BASELINE_SCRIPT, str(n),
+                        meta, str(CYCLES)], check=True, env=env, cwd=REPO)
+    return json.load(open(meta))
 
 
 def main():
-    npz, meta = build_and_baseline(SUBDIV)
+    meta = cpu_baseline(BENCH_N)
 
     import jax
     try:
@@ -142,43 +126,62 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     import gravomg_tpu as g
-    from gravomg_tpu.io.serialization import load_solver
+    from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+    from gravomg_tpu.geometry.meshes import torus_points
+    from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                              check_diagnostics)
 
-    h = load_solver(npz)
-    cfg = g.MultigridConfig()
-    n = h.levels[0].op.num_vertices
-    rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    pts = torus_points(BENCH_N, seed=1).astype(np.float32)
+    cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
 
-    # The hierarchy must be a jit ARGUMENT: closure-captured arrays are
-    # baked as HLO constants and re-materialized per call (measured 1000x
-    # slower under the axon runtime).
+    def full_build():
+        graph, short = grid_knn_graph_nosync(pts, 16)
+        lap, mass = g.graph_laplacian(graph, "invdist")
+        spd = lap._replace(diag=lap.diag + 0.5 * mass)
+        h, diags = build_hierarchy_device(graph, spd, cfg)
+        return h, diags, short
+
+    # Warm all compiles (cold pass), then time a full warm build.
+    h, diags, short = full_build()
+    jax.block_until_ready(h.solver.coarse_chol)
+    t0 = time.perf_counter()
+    h, diags, short = full_build()
+    jax.block_until_ready(h.solver.coarse_chol)
+    build_s = time.perf_counter() - t0
+
+    b = jnp.asarray(np.random.default_rng(0).normal(size=BENCH_N),
+                    jnp.float32)
+
     @jax.jit
-    def step(h, x, b):
-        return g.v_cycle(h, x, b, cfg)
+    def step(hs, x, b):
+        return g.v_cycle(hs, x, b, cfg)
 
-    x = step(h, jnp.zeros_like(b), b)
-    x.block_until_ready()  # compile
-    # Timed: chain CYCLES V-cycles.
+    x = step(h.solver, jnp.zeros_like(b), b)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(CYCLES):
-        x = step(h, x, b)
-    x.block_until_ready()
+        x = step(h.solver, x, b)
+    jax.block_until_ready(x)
     tpu_ms = (time.perf_counter() - t0) / CYCLES * 1000
 
-    a0 = h.levels[0].op
-    rel = float(jnp.linalg.norm(b - g.spmv(a0, x)) / jnp.linalg.norm(b))
+    # --- timing done; host syncs are safe now ---
+    assert not bool(short), "grid kNN shortfall at bench scale"
+    check_diagnostics(diags)
+    rel = float(jnp.linalg.norm(b - g.spmv(h.solver.levels[0].op, x))
+                / jnp.linalg.norm(b))
 
     out = {
-        "metric": f"vcycle_ms_{meta['n_fine']}v",
+        "metric": f"vcycle_ms_{BENCH_N}v",
         "value": round(tpu_ms, 4),
         "unit": "ms",
         "vs_baseline": round(meta["cpu_vcycle_ms"] / tpu_ms, 3),
     }
     print(json.dumps(out))
-    print(f"# levels={meta['levels']} cpu_vcycle={meta['cpu_vcycle_ms']:.2f}ms "
-          f"tpu_vcycle={tpu_ms:.2f}ms residual_after_{CYCLES}={rel:.2e} "
-          f"build_cpu={meta['t_build_cpu']:.1f}s", file=sys.stderr)
+    print(f"# warm_full_build={build_s:.3f}s "
+          f"cpu_vcycle={meta['cpu_vcycle_ms']:.2f}ms "
+          f"(baseline measured at {meta['baseline_n']}v, scaled) "
+          f"tpu_vcycle={tpu_ms:.4f}ms residual_after_{CYCLES + 1}={rel:.2e} "
+          f"levels={[int(d.n_real) for d in diags]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

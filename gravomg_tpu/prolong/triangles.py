@@ -79,29 +79,63 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
     chunk = max(1, min(c, 4096))
     cpad = ((c + chunk - 1) // chunk) * chunk
     pad = cpad - c
+    # Per-anchor triangle cap: triangles anchored at v0 are adjacent
+    # pairs among its higher-indexed neighbors -- bounded by ~K on
+    # surface-like graphs.  Keeps all compaction state at (C, cap)
+    # instead of a (C, K, K) tensor whose lane padding OOMs at 1M
+    # (measured: 13 GB at C=424k, K=48).
+    row_cap = min(2 * k, k * (k - 1) // 2)
 
     def padc(a, fill=0):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                        constant_values=fill)
 
-    tri_mask = jax.lax.map(
-        member_chunk,
+    def anchored_chunk(args):
+        nbrc, rawc, pmc = args
+        tm = member_chunk((nbrc, rawc, pmc))           # (cc, K, K) bool
+        # Compact each row's valid (k1, k2) pairs in lex order.
+        code = (jnp.arange(k, dtype=jnp.int32)[:, None] * k
+                + jnp.arange(k, dtype=jnp.int32)[None, :])[None]
+        keys = jnp.where(tm, code, jnp.int32(k * k)).reshape(-1, k * k)
+        keys = jnp.sort(keys, axis=1)[:, :row_cap]     # (cc, row_cap)
+        counts = jnp.sum(tm, axis=(1, 2)).astype(jnp.int32)
+        return keys, counts
+
+    keys, row_counts = jax.lax.map(
+        anchored_chunk,
         (padc(nbr).reshape(-1, chunk, k),
          padc(raw, 0).reshape(-1, chunk, k),
-         padc(pair_mask, False).reshape(-1, chunk, k, k)),
-    ).reshape(cpad, k, k)[:c]
+         padc(pair_mask, False).reshape(-1, chunk, k, k)))
+    keys = keys.reshape(cpad, row_cap)[:c]             # (C, row_cap)
+    row_counts = row_counts.reshape(cpad)[:c]
+    row_overflow = jnp.any(row_counts > row_cap)
+    row_counts = jnp.minimum(row_counts, row_cap)
 
-    # Compact in enumeration order (v0 major, then k1, then k2) -- exactly
-    # the reference's id order.
-    flat = tri_mask.reshape(-1)
-    tri_flat_idx = jnp.nonzero(flat, size=max_triangles,
-                               fill_value=c * k * k)[0]
-    overflow = jnp.sum(flat) > max_triangles
-    valid_t = tri_flat_idx < c * k * k
-    safe_flat = jnp.where(valid_t, tri_flat_idx, 0)
-    t_v0 = (safe_flat // (k * k)).astype(jnp.int32)
-    t_k1 = ((safe_flat // k) % k).astype(jnp.int32)
-    t_k2 = (safe_flat % k).astype(jnp.int32)
+    # Global triangle ids = exclusive row offsets + in-row slot: exactly
+    # the reference's (v0, k1, k2) enumeration order.
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(row_counts, dtype=jnp.int32)])
+    total = offsets[-1]
+    overflow = (total > max_triangles) | row_overflow
+    slot = jnp.arange(row_cap, dtype=jnp.int32)[None, :]
+    valid_rc = slot < row_counts[:, None]
+    tid_pos = jnp.where(valid_rc, offsets[:-1, None] + slot,
+                        max_triangles)                 # (C, row_cap)
+    t_v0_src = jnp.broadcast_to(idx[:, None], (c, row_cap))
+    safe_keys = jnp.where(valid_rc, keys, 0)
+    t_k1_src = safe_keys // k
+    t_k2_src = safe_keys % k
+
+    def scatter_flat(src):
+        buf = jnp.full((max_triangles + 1,), 0, jnp.int32)
+        return buf.at[tid_pos.reshape(-1)].set(
+            src.reshape(-1))[:max_triangles]
+
+    t_v0 = scatter_flat(t_v0_src)
+    t_k1 = scatter_flat(t_k1_src)
+    t_k2 = scatter_flat(t_k2_src)
+    valid_t = jnp.arange(max_triangles) < total
     t_v1 = nbr[t_v0, t_k1]
     t_v2 = nbr[t_v0, t_k2]
     vertices = jnp.stack([t_v0, t_v1, t_v2], axis=1)
