@@ -142,8 +142,13 @@ def main():
         return h, diags, short
 
     # Warm all compiles (cold pass), then time a full warm build.
+    # Drop the cold-pass results first: holding them alive during the
+    # rebuild doubles peak HBM and crashes the worker at 1M.
     h, diags, short = full_build()
     jax.block_until_ready(h.solver.coarse_chol)
+    del h, diags, short
+    import gc
+    gc.collect()
     t0 = time.perf_counter()
     h, diags, short = full_build()
     jax.block_until_ready(h.solver.coarse_chol)
