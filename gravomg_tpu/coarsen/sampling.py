@@ -123,6 +123,67 @@ def fast_disc_sample_mask(graph: Graph, radius: jax.Array,
     return status == _SELECTED
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _disc_round(graph: Graph, radius: jax.Array, status: jax.Array,
+                chunk: int = 8192):
+    """One lex-first-MIS round as a standalone single-launch program.
+
+    Used by :func:`fast_disc_sample_rounds`, which drives rounds from
+    Python: on runtimes that kill long-running device programs, the
+    fused while_loop variant's single launch (rounds x chunks) exceeds
+    the watchdog at large V, while per-round launches stay short.
+    """
+    nbr = graph.safe_neighbors()
+    m = graph.mask
+    d = graph.distances
+    v, k = nbr.shape
+    vpad = ((v + chunk - 1) // chunk) * chunk
+    pad = vpad - v
+    nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)))
+    m_p = jnp.pad(m, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    idx_p = jnp.arange(vpad, dtype=jnp.int32)
+
+    def per_chunk(c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk, chunk)
+        cn, cm, cd, cidx = sl(nbr_p), sl(m_p), sl(d_p), sl(idx_p)
+        low1 = cm & (cd < radius) & (cn < cidx[:, None])
+        nn = jnp.where(cm[:, :, None], nbr[cn], 0)
+        nn_mask = cm[:, :, None] & m[cn]
+        d2 = cd[:, :, None] + jnp.where(nn_mask, d[cn], jnp.inf)
+        low2 = nn_mask & (d2 < radius) & (nn < cidx[:, None, None])
+        s1 = status[cn]
+        s2 = status[nn]
+        sel_lower = (jnp.any(low1 & (s1 == _SELECTED), axis=1)
+                     | jnp.any(low2 & (s2 == _SELECTED), axis=(1, 2)))
+        undec_lower = (jnp.any(low1 & (s1 == _UNDECIDED), axis=1)
+                       | jnp.any(low2 & (s2 == _UNDECIDED), axis=(1, 2)))
+        cstat = status[cidx]
+        undecided = cstat == _UNDECIDED
+        return jnp.where(
+            undecided & sel_lower, _REJECTED,
+            jnp.where(undecided & ~undec_lower, _SELECTED,
+                      cstat)).astype(jnp.int8)
+
+    new_status = jax.lax.map(
+        per_chunk, jnp.arange(vpad // chunk)).reshape(vpad)[:v]
+    return new_status, jnp.any(new_status == _UNDECIDED)
+
+
+def fast_disc_sample_rounds(graph: Graph, radius, rounds: int = 24,
+                            chunk: int = 8192):
+    """Watchdog-safe sampling: a fixed number of short per-round
+    launches (idempotent once converged).  Returns (mask, undecided)
+    where ``undecided`` is a device-side bool diagnostic: True means
+    ``rounds`` was too small for this graph's dependency chains."""
+    v = graph.num_vertices
+    status = jnp.zeros((v,), jnp.int8)
+    undec = jnp.bool_(True)
+    for _ in range(rounds):
+        status, undec = _disc_round(graph, radius, status, chunk=chunk)
+    return status == _SELECTED, undec
+
+
 def fast_disc_sample(graph: Graph, radius, max_samples: int | None = None):
     """Host-facing wrapper: returns ascending selected indices (NumPy).
 

@@ -31,6 +31,7 @@ from gravomg_tpu.config import MultigridConfig
 from gravomg_tpu.types import (EllOperator, Graph, Prolongation,
                                INVALID_INDEX)
 from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
+                                          fast_disc_sample_rounds,
                                           sampling_radius)
 from gravomg_tpu.coarsen.parents import assign_parents
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
@@ -53,6 +54,7 @@ class LevelDiagnostics(NamedTuple):
     tri_overflow: jax.Array     # () bool: triangle/assoc caps too small
     rap_overflow: jax.Array     # () bool: rap_cap too small
     point_fallbacks: jax.Array  # () int32
+    sampling_undecided: jax.Array = np.bool_(False)  # rounds cap too small
 
 
 def plan_levels(v: int, cfg: MultigridConfig,
@@ -76,7 +78,7 @@ def build_hierarchy_device(
         cfg: MultigridConfig = MultigridConfig(),
         level_caps: Optional[Sequence[int]] = None,
         kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
-        rap_cap: int = 96,
+        rap_cap: int = 96, sampling_rounds: Optional[int] = None,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -96,7 +98,16 @@ def build_hierarchy_device(
 
     for cap in level_caps:
         radius = sampling_radius(g, cfg.reduction_ratio)
-        mask = fast_disc_sample_mask(g, radius) & fine_valid
+        if sampling_rounds is not None:
+            # Fixed short per-round launches: runtimes with device-side
+            # watchdogs kill the fused while_loop's single long launch
+            # at large V (PROGRESS.md).
+            mask, s_undec = fast_disc_sample_rounds(
+                g, radius, rounds=sampling_rounds)
+        else:
+            mask = fast_disc_sample_mask(g, radius)
+            s_undec = jnp.bool_(False)
+        mask = mask & fine_valid
         n_real = jnp.sum(mask).astype(jnp.int32)
         raw = jnp.nonzero(mask, size=cap, fill_value=g.num_vertices)[0]
         samples = jnp.where(raw < g.num_vertices, raw,
@@ -134,7 +145,7 @@ def build_hierarchy_device(
         diags.append(LevelDiagnostics(
             n_real=n_real, cap_overflow=cap_overflow, edge_overflow=e_ovf,
             tri_overflow=t_ovf, rap_overflow=r_ovf,
-            point_fallbacks=counts[2]))
+            point_fallbacks=counts[2], sampling_undecided=s_undec))
         graphs.append(cg)
         ops.append(coarse_op)
         fine_valid = samples != INVALID_INDEX
@@ -166,6 +177,8 @@ def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
             problems.append("triangle/assoc cap overflow")
         if bool(d.rap_overflow):
             problems.append("Galerkin degree cap (rap_cap) overflow")
+        if bool(d.sampling_undecided):
+            problems.append("sampling_rounds too small (undecided left)")
         if problems:
             raise RuntimeError(
                 f"device-resident build level {i}: " + "; ".join(problems)

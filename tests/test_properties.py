@@ -107,3 +107,15 @@ def test_device_resident_build_matches_staged(rng):
     assert int(it1) == int(it2)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_rounds_sampling_matches_whileloop(rng):
+    from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
+                                              fast_disc_sample_rounds)
+    pts = torus_points(2000, seed=3)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    r = g.sampling_radius(graph)
+    m1 = np.asarray(fast_disc_sample_mask(graph, r))
+    m2, undec = fast_disc_sample_rounds(graph, r, rounds=24)
+    assert not bool(undec)
+    np.testing.assert_array_equal(np.asarray(m2), m1)
