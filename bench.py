@@ -35,8 +35,8 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
 BENCH_N = int(os.environ.get("GRAVOMG_BENCH_N", "200000"))
-N1 = int(os.environ.get("GRAVOMG_BENCH_C1", "3"))
-N2 = int(os.environ.get("GRAVOMG_BENCH_C2", "53"))
+N1 = int(os.environ.get("GRAVOMG_BENCH_C1", "2"))
+N2 = int(os.environ.get("GRAVOMG_BENCH_C2", "12"))
 
 _TPU_SCRIPT = r"""
 import json, sys, time, gc, functools
@@ -79,7 +79,7 @@ def run_cycles(hs, b, cycles):
         return g.v_cycle(hs, x, b, cfg)
     return jax.lax.fori_loop(0, cycles, body, jnp.zeros_like(b))
 
-def timed(cycles, reps=3):
+def timed(cycles, reps=5):
     x = run_cycles(h.solver, b, cycles)      # compile + first exec
     float(jnp.sum(x[:4]))
     best = float("inf")
