@@ -4,7 +4,7 @@
 Headline metric (BASELINE.md): per-V-cycle wall time on a screened-
 Poisson problem at GRAVOMG_BENCH_N vertices (default 500k; BASELINE
 config-4 class), measured on the TPU with the fully device-resident
-pipeline (grid kNN -> Laplacian -> hierarchy -> V-cycles).
+pipeline (grid kNN -> Laplacian -> hierarchy -> compaction -> V-cycles).
 
 Timing methodology -- two properties of this TPU runtime force it
 (measured, PROGRESS.md):
@@ -16,7 +16,9 @@ Each measurement therefore runs in a FRESH subprocess that executes the
 warm pipeline plus N chained V-cycles and ends with one forced readout
 (the only reliable completion barrier); two runs with different N give
 the true per-cycle slope:  t_per_cycle = (T(N2) - T(N1)) / (N2 - N1).
-The same protocol times the full warm build.
+A separate subprocess measures the warm (compile-cached) hierarchy
+build the same way.  Slope linearity is cross-checked with a third
+cycle count (see `slope_r2` in the stderr report).
 
 ``vs_baseline`` is the speedup over a SciPy-CSR CPU implementation of
 the same V-cycle on the same-algorithm hierarchy -- the stand-in for
@@ -37,69 +39,141 @@ CACHE = os.path.join(REPO, ".bench_cache")
 BENCH_N = int(os.environ.get("GRAVOMG_BENCH_N", "200000"))
 N1 = int(os.environ.get("GRAVOMG_BENCH_C1", "2"))
 N2 = int(os.environ.get("GRAVOMG_BENCH_C2", "12"))
+N3 = int(os.environ.get("GRAVOMG_BENCH_C3", "32"))
 
-_TPU_SCRIPT = r"""
+_COMMON = r"""
 import json, sys, time, gc, functools
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", sys.argv[4])
+jax.config.update("jax_compilation_cache_dir", sys.argv[-2])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.geometry.meshes import torus_points
 from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
-                                          check_diagnostics)
+                                          check_diagnostics,
+                                          compact_solver)
 
-n, n1, n2, out = (int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-                  sys.argv[5])
-pts = torus_points(n, seed=1).astype(np.float32)
-cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
+def build_pipeline(n):
+    pts = torus_points(n, seed=1).astype(np.float32)
+    cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
+    graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    h, diags = build_hierarchy_device(graph, spd, cfg)
+    return cfg, graph, spd, h, diags, short
+"""
 
-graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
-lap, mass = g.graph_laplacian(graph, "invdist")
-spd = lap._replace(diag=lap.diag + 0.5 * mass)
+_TPU_SCRIPT = _COMMON + r"""
+n, n1, n2, n3 = (int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+                 int(sys.argv[4]))
+out = sys.argv[-1]
 t0 = time.perf_counter()
-h, diags = build_hierarchy_device(graph, spd, cfg)
+cfg, graph, spd, h, diags, short = build_pipeline(n)
 # This D2H probe is the only reliable completion barrier (block_until_
 # ready does not track true completion on this runtime).  It includes
 # async remote-compile time on cold caches; t_build is therefore an
-# upper bound, honest only on warm caches.
+# upper bound, honest only on warm caches (see the warm-build probe).
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 t_build = time.perf_counter() - t0
-# The process is now in ~48ms-per-launch dispatch mode.  Both cycle
-# measurements below are SINGLE-launch programs (fori_loop inside one
-# jit), so the constant per-launch cost cancels in the slope and the
-# difference isolates true per-cycle execution.
+
+# Compaction syncs the level diagnostics (the process is now in the
+# degraded ~48ms-per-launch dispatch mode either way) and slices every
+# level to tight row/degree buckets -- the padded plan carries up to
+# ~3x phantom rows otherwise.
+assert not bool(short), "grid kNN shortfall"
+check_diagnostics(diags)
+sol = compact_solver(h.solver, diags)
 b = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
 
+# All cycle measurements are SINGLE-launch programs (fori_loop inside
+# one jit), so the constant per-launch cost cancels in the slope and
+# the difference isolates true per-cycle execution.
 @functools.partial(jax.jit, static_argnames=("cycles",))
 def run_cycles(hs, b, cycles):
     def body(_, x):
         return g.v_cycle(hs, x, b, cfg)
     return jax.lax.fori_loop(0, cycles, body, jnp.zeros_like(b))
 
-def timed(cycles, reps=5):
-    x = run_cycles(h.solver, b, cycles)      # compile + first exec
+def timed(fn, arg, reps=5):
+    x = fn(arg)                              # compile + first exec
     float(jnp.sum(x[:4]))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        x = run_cycles(h.solver, b, cycles)
+        x = fn(arg)
         float(jnp.sum(x[:4]))                # completion barrier
         best = min(best, time.perf_counter() - t0)
     return best, x
 
-t1, _ = timed(n1)
-t2, x = timed(n2)
+t1, _ = timed(lambda c: run_cycles(sol, b, c), n1)
+t2, x = timed(lambda c: run_cycles(sol, b, c), n2)
+t3, _ = timed(lambda c: run_cycles(sol, b, c), n3)
 
-assert not bool(short), "grid kNN shortfall"
-check_diagnostics(diags)
-rel = float(jnp.linalg.norm(b - g.spmv(h.solver.levels[0].op, x))
+# Slope + linearity check over the three counts.
+xs = np.array([n1, n2, n3], float); ys = np.array([t1, t2, t3])
+slope, icept = np.polyfit(xs, ys, 1)
+pred = slope * xs + icept
+ss_res = float(((ys - pred) ** 2).sum())
+ss_tot = float(((ys - ys.mean()) ** 2).sum())
+r2 = 1.0 - ss_res / max(ss_tot, 1e-30)
+
+rel = float(jnp.linalg.norm(b - g.spmv(sol.levels[0].op, x))
             / jnp.linalg.norm(b))
-json.dump({"t_build": t_build, "t1": t1, "t2": t2, "n1": n1, "n2": n2,
-           "residual": rel,
-           "levels": [int(d.n_real) for d in diags]}, open(out, "w"))
+
+# MG-PCG: per-iteration slope + iterations to the BASELINE 1e-8 target.
+from gravomg_tpu.solve.spmv import spmv
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def run_pcg_iters(hs, b, iters):
+    op = hs.levels[0].op
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = g.v_cycle(hs, jnp.zeros_like(r0), r0, cfg)
+    def body(_, st):
+        x, r, z, p, rz = st
+        ap = spmv(op, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = g.v_cycle(hs, jnp.zeros_like(r), r, cfg)
+        rz2 = jnp.vdot(r, z)
+        return x, r, z, z + (rz2 / jnp.maximum(rz, 1e-30)) * p, rz2
+    st = jax.lax.fori_loop(0, iters, body,
+                           (x0, r0, z0, z0, jnp.vdot(r0, z0)))
+    return st[0]
+
+p1, _ = timed(lambda c: run_pcg_iters(sol, b, c), n1)
+p2, xp = timed(lambda c: run_pcg_iters(sol, b, c), n2)
+pcg_it_s = (p2 - p1) / (n2 - n1)
+# Iteration count to 1e-8 (run once; while_loop with residual exit).
+xs_, rel_pcg, iters_pcg = g.mg_pcg(sol, b, cfg)
+iters_pcg = int(iters_pcg)
+rel_pcg = float(rel_pcg)
+time_to_1e8 = pcg_it_s * iters_pcg
+
+json.dump({"t_build": t_build, "t1": t1, "t2": t2, "t3": t3,
+           "n1": n1, "n2": n2, "n3": n3, "slope_s": float(slope),
+           "slope_r2": r2, "residual": rel,
+           "pcg_iter_s": pcg_it_s, "pcg_iters": iters_pcg,
+           "pcg_rel": rel_pcg, "time_to_1e8_s": time_to_1e8,
+           "levels": [int(d.n_real) for d in diags],
+           "shapes": [(l.op.num_vertices, l.op.max_degree)
+                      for l in sol.levels]}, open(out, "w"))
+"""
+
+# Warm build: runs in a fresh subprocess AFTER the main script has
+# populated the persistent compile cache; async dispatch stays clean
+# (no D2H before the final probe), so the probe-to-probe wall time is
+# the true warm pipeline-and-build latency.
+_WARM_BUILD_SCRIPT = _COMMON + r"""
+n, out = int(sys.argv[1]), sys.argv[-1]
+t0 = time.perf_counter()
+cfg, graph, spd, h, diags, short = build_pipeline(n)
+probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+t_build = time.perf_counter() - t0
+json.dump({"t_build_warm": t_build}, open(out, "w"))
 """
 
 _BASELINE_SCRIPT = r"""
@@ -109,7 +183,8 @@ import jax.numpy as jnp
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.geometry.meshes import torus_points
-from gravomg_tpu.hierarchy_static import build_hierarchy_device
+from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                          compact_solver)
 import scipy.sparse as sp
 import scipy.linalg as sla
 
@@ -124,6 +199,7 @@ lap, mass = g.graph_laplacian(graph, "invdist")
 spd = lap._replace(diag=lap.diag + 0.5*mass)
 cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
 h, diags = build_hierarchy_device(graph, spd, cfg)
+hs = compact_solver(h.solver, diags)
 
 def ell_to_csr(op):
     v_, k_ = op.neighbors.shape
@@ -142,25 +218,44 @@ def u_to_csr(u):
                           (rows, np.asarray(u.cols).ravel())),
                          shape=(vf, u.n_coarse))
 
-As = [ell_to_csr(l.op) for l in h.solver.levels]
-Us = [u_to_csr(l.u) for l in h.solver.levels[:-1]]
+As = [ell_to_csr(l.op) for l in hs.levels]
+Us = [u_to_csr(l.u) for l in hs.levels[:-1]]
 Dinv = [1.0 / A.diagonal() for A in As]
 chol = sla.cho_factor(As[-1].toarray()
                       + 1e-10*np.abs(As[-1].diagonal()).max()
                       * np.eye(As[-1].shape[0]))
 
+# Same smoother as the TPU path (Chebyshev of cfg.chebyshev_degree on
+# the Jacobi-preconditioned operator) so per-cycle work matches.
+cheb = [(float(l.cheb.lam_min), float(l.cheb.lam_max))
+        for l in hs.levels[:-1]]
+
+def smooth(lvl, x, b):
+    A, dinv = As[lvl], Dinv[lvl]
+    lo, hi = cheb[lvl]
+    theta, delta = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = dinv * (b - A @ x)
+    d = r / theta
+    x = x + d
+    for _ in range(cfg.chebyshev_degree - 1):
+        r = dinv * (b - A @ x)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        x = x + d
+        rho = rho_new
+    return x
+
 def vcycle_cpu(lvl, x, b):
     if lvl == len(As) - 1:
         return sla.cho_solve(chol, b)
-    A, dinv, U = As[lvl], Dinv[lvl], Us[lvl]
-    for _ in range(cfg.pre_smooth):
-        x = x + cfg.jacobi_omega * dinv * (b - A @ x)
+    A, U = As[lvl], Us[lvl]
+    x = smooth(lvl, x, b)
     r = b - A @ x
     e = vcycle_cpu(lvl + 1, np.zeros(U.shape[1]), U.T @ r)
     x = x + U @ e
-    for _ in range(cfg.post_smooth):
-        x = x + cfg.jacobi_omega * dinv * (b - A @ x)
-    return x
+    return smooth(lvl, x, b)
 
 b = np.random.default_rng(0).standard_normal(nb)
 x = vcycle_cpu(0, np.zeros(nb), b)
@@ -172,19 +267,30 @@ json.dump({"cpu_vcycle_ms": cpu_ms, "baseline_n": nb}, open(out_json, "w"))
 """
 
 
-def run_tpu(n: int, n1: int, n2: int) -> dict:
+def run_tpu(n: int, n1: int, n2: int, n3: int) -> dict:
     os.makedirs(CACHE, exist_ok=True)
-    out = os.path.join(CACHE, f"tpu_slope_{n}_{n1}_{n2}.json")
+    out = os.path.join(CACHE, f"tpu_slope_v2_{n}_{n1}_{n2}_{n3}.json")
     if not os.path.exists(out):
         subprocess.run(
             [sys.executable, "-c", _TPU_SCRIPT, str(n), str(n1), str(n2),
+             str(n3), os.path.join(CACHE, "xla"), out], check=True,
+            cwd=REPO)
+    return json.load(open(out))
+
+
+def run_warm_build(n: int) -> dict:
+    os.makedirs(CACHE, exist_ok=True)
+    out = os.path.join(CACHE, f"tpu_warmbuild_{n}.json")
+    if not os.path.exists(out):
+        subprocess.run(
+            [sys.executable, "-c", _WARM_BUILD_SCRIPT, str(n),
              os.path.join(CACHE, "xla"), out], check=True, cwd=REPO)
     return json.load(open(out))
 
 
 def cpu_baseline(n: int) -> dict:
     os.makedirs(CACHE, exist_ok=True)
-    meta = os.path.join(CACHE, f"baseline_{n}.json")
+    meta = os.path.join(CACHE, f"baseline_v2_{n}.json")
     if not os.path.exists(meta):
         env = dict(os.environ)
         env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
@@ -196,9 +302,9 @@ def cpu_baseline(n: int) -> dict:
 
 def main():
     meta = cpu_baseline(BENCH_N)
-    r = run_tpu(BENCH_N, N1, N2)
-    tpu_ms = (r["t2"] - r["t1"]) / (r["n2"] - r["n1"]) * 1000
-    tpu_ms = max(tpu_ms, 1e-4)
+    r = run_tpu(BENCH_N, N1, N2, N3)
+    warm = run_warm_build(BENCH_N)
+    tpu_ms = max(r["slope_s"] * 1000, 1e-4)
     out = {
         "metric": f"vcycle_ms_{BENCH_N}v",
         "value": round(tpu_ms, 4),
@@ -206,13 +312,18 @@ def main():
         "vs_baseline": round(meta["cpu_vcycle_ms"] / tpu_ms, 3),
     }
     print(json.dumps(out))
-    print(f"# build_upper_bound={r['t_build']:.3f}s "
+    print(f"# build_cold_upper_bound={r['t_build']:.3f}s "
+          f"build_warm={warm['t_build_warm']:.3f}s "
           f"cpu_vcycle={meta['cpu_vcycle_ms']:.2f}ms "
           f"(cpu measured at {meta['baseline_n']}v, scaled linearly) "
-          f"tpu_vcycle={tpu_ms:.4f}ms "
+          f"tpu_vcycle={tpu_ms:.4f}ms slope_r2={r['slope_r2']:.6f} "
           f"T({r['n1']})={r['t1']:.3f}s T({r['n2']})={r['t2']:.3f}s "
-          f"residual={r['residual']:.2e} "
-          f"levels={r['levels']}", file=sys.stderr)
+          f"T({r['n3']})={r['t3']:.3f}s "
+          f"residual_12cycles={r['residual']:.2e} "
+          f"pcg_iter_ms={r['pcg_iter_s']*1000:.3f} "
+          f"pcg_iters_to_1e8={r['pcg_iters']} pcg_rel={r['pcg_rel']:.2e} "
+          f"time_to_1e8_s={r['time_to_1e8_s']:.4f} "
+          f"levels={r['levels']} shapes={r['shapes']}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,8 @@ Quick start::
 """
 
 from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
-                               Prolongation, TriangleSet, INVALID_INDEX)
+                               Prolongation, Restriction, TriangleSet,
+                               INVALID_INDEX)
 from gravomg_tpu.config import MultigridConfig
 from gravomg_tpu.geometry.transforms import scale_mesh
 from gravomg_tpu.geometry.knn import knn_graph, graph_from_edges
@@ -37,14 +38,16 @@ from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
 from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
 from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
 from gravomg_tpu.prolong.operator import (BARYCENTRIC, INVDIST, UNIFORM,
+                                          build_restriction,
                                           construct_prolongation,
                                           projected_points, prolong,
-                                          restrict)
+                                          restrict, restrict_gather)
 from gravomg_tpu.solve.spmv import spmv, residual
 from gravomg_tpu.solve.rap import galerkin_rap
 from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
                                          weighted_jacobi)
-from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel, solve,
+from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
+                                      attach_restrictions, solve,
                                       solve_refined, v_cycle)
 from gravomg_tpu.solve.cg import mg_pcg, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,

@@ -36,15 +36,25 @@ def refit_hierarchy(h: Hierarchy, new_fine_op: EllOperator,
     operator (hierarchy reuse: coarsening, parents, U all unchanged)."""
     ops = [new_fine_op]
     for ld in h.levels:
+        # The previous coarse operator's degree is only a starting guess:
+        # a new fine operator with different sparsity can need wider
+        # Galerkin rows, so retry with staged doubling on overflow
+        # (mirrors build_hierarchy's loop) instead of silently dropping
+        # entries.
         kc2 = h.solver.levels[len(ops)].op.max_degree
-        coarse_op, _ = galerkin_rap(ops[-1], ld.u, kc2)
+        coarse_op, ovf = galerkin_rap(ops[-1], ld.u, kc2)
+        while bool(ovf) and kc2 < ld.u.n_coarse:
+            kc2 = min(2 * kc2, ld.u.n_coarse)
+            coarse_op, ovf = galerkin_rap(ops[-1], ld.u, kc2)
         ops.append(coarse_op)
     levels = []
     for i, o in enumerate(ops):
         u = h.levels[i].u if i < len(h.levels) else None
+        # U (hence U^T) is unchanged by a refit; reuse the gather tables.
+        ut = h.solver.levels[i].ut if i < len(h.solver.levels) else None
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
                 if cfg.smoother == "chebyshev" else None)
-        levels.append(SolverLevel(op=o, u=u, cheb=cheb))
+        levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut))
     return SolverHierarchy(levels=tuple(levels),
                            coarse_chol=factor_coarse(ops[-1]))
 

@@ -155,7 +155,10 @@ def grid_knn_graph_nosync(points_np: np.ndarray, k: int,
     safe = jnp.where(mask, res.columns, 0)
     dist = jnp.linalg.norm(points[:, None, :] - points[safe], axis=-1)
     dist = jnp.where(mask, dist.astype(points.dtype), jnp.inf)
-    return Graph(res.columns, dist, points), short
+    # Symmetrization overflow (hub in-degree > max_degree) folds into the
+    # same deferred device-side diagnostic as the kNN shortfall -- checked
+    # once after the performance-critical phase, no extra D2H here.
+    return Graph(res.columns, dist, points), short | res.overflow
 
 
 def grid_knn_graph(points: jax.Array, k: int,
@@ -225,6 +228,11 @@ def grid_knn_graph(points: jax.Array, k: int,
     all_cols = jnp.concatenate([safe_cols, rows])
     all_valid = jnp.concatenate([valid, valid])
     res = build_ell_rows(all_rows, all_cols, all_valid, v, max_degree)
+    # Hub vertices can exceed any fixed union degree; staged doubling on
+    # the overflow flag (this path already syncs on `short` above).
+    while bool(res.overflow) and max_degree < v - 1:
+        max_degree = min(2 * max_degree, v - 1)
+        res = build_ell_rows(all_rows, all_cols, all_valid, v, max_degree)
     mask = res.columns != INVALID_INDEX
     safe = jnp.where(mask, res.columns, 0)
     dist = jnp.linalg.norm(points[:, None, :] - points[safe], axis=-1)

@@ -84,8 +84,11 @@ def knn_graph(points: jax.Array, k: int, max_degree: int | None = None,
     Rows are sorted ascending by neighbor index (Eigen CSC inner order).
 
     Args:
-      max_degree: K of the output ELL table; defaults to 2k (the union of
-        two k-lists).  Overflow cannot occur at 2k.
+      max_degree: K of the output ELL table; defaults to 2k.  A row's
+        union degree is its k out-links plus its (unbounded) in-degree,
+        so hub vertices can exceed any fixed K; on overflow the table is
+        rebuilt with a doubled K (staged doubling, as in
+        hierarchy.build_hierarchy) until every edge fits.
     """
     v = points.shape[0]
     if max_degree is None:
@@ -99,6 +102,11 @@ def knn_graph(points: jax.Array, k: int, max_degree: int | None = None,
     all_cols = jnp.concatenate([cols, jnp.where(valid, rows, 0)])
     all_valid = jnp.concatenate([valid, valid])
     res = build_ell_rows(all_rows, all_cols, all_valid, v, max_degree)
+    while bool(res.overflow) and max_degree < v - 1:
+        max_degree = min(2 * max_degree, v - 1)
+        res = build_ell_rows(all_rows, all_cols, all_valid, v, max_degree)
+    if bool(res.overflow):
+        raise ValueError("knn_graph: symmetrized degree exceeds V-1")
     mask = res.columns != INVALID_INDEX
     safe = jnp.where(mask, res.columns, 0)
     dist = jnp.linalg.norm(points[:, None, :] - points[safe], axis=-1)
@@ -122,6 +130,10 @@ def graph_from_edges(points: jax.Array, edges: jax.Array,
     all_cols = jnp.concatenate([e1, e0])
     all_valid = jnp.concatenate([valid, valid])
     res = build_ell_rows(all_rows, all_cols, all_valid, v, max_degree)
+    if bool(res.overflow):
+        raise ValueError(
+            f"graph_from_edges: some vertex degree exceeds max_degree="
+            f"{max_degree}; pass a larger max_degree")
     mask = res.columns != INVALID_INDEX
     safe = jnp.where(mask, res.columns, 0)
     dist = jnp.linalg.norm(points[:, None, :] - points[safe], axis=-1)

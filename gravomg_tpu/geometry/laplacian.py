@@ -86,6 +86,10 @@ def cotan_laplacian(points: jax.Array, faces: jax.Array,
     valid = jnp.ones_like(rows, dtype=bool)
     res = build_ell_rows(rows, cols, valid, v, max_degree,
                          values=-w.astype(points.dtype), combine="add")
+    while bool(res.overflow) and max_degree < v - 1:
+        max_degree = min(2 * max_degree, v - 1)
+        res = build_ell_rows(rows, cols, valid, v, max_degree,
+                             values=-w.astype(points.dtype), combine="add")
     mask = res.columns != INVALID_INDEX
     offdiag = jnp.where(mask, res.values, 0.0)
     diag = -jnp.sum(offdiag, axis=1)

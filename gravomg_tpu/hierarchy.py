@@ -213,6 +213,8 @@ def build_hierarchy(graph: Graph, fine_op: EllOperator,
                 if cfg.smoother == "chebyshev" else None)
         solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb))
     chol = factor_coarse(ops[-1])
-    solver = SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol)
+    from gravomg_tpu.solve.vcycle import attach_restrictions
+    solver = attach_restrictions(
+        SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol))
     return Hierarchy(graphs=tuple(graphs), levels=tuple(level_data),
                      solver=solver)

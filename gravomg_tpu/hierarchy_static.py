@@ -37,7 +37,8 @@ from gravomg_tpu.coarsen.parents import assign_parents
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
 from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
 from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
-from gravomg_tpu.prolong.operator import construct_prolongation
+from gravomg_tpu.prolong.operator import (build_restriction,
+                                          construct_prolongation)
 from gravomg_tpu.solve.rap import galerkin_rap
 from gravomg_tpu.solve.coarse import factor_coarse
 from gravomg_tpu.solve.smoothers import ChebyshevParams
@@ -55,6 +56,7 @@ class LevelDiagnostics(NamedTuple):
     rap_overflow: jax.Array     # () bool: rap_cap too small
     point_fallbacks: jax.Array  # () int32
     sampling_undecided: jax.Array = np.bool_(False)  # rounds cap too small
+    rt_overflow: jax.Array = np.bool_(False)  # U^T children cap too small
 
 
 def plan_levels(v: int, cfg: MultigridConfig,
@@ -155,13 +157,96 @@ def build_hierarchy_device(
     solver_levels = []
     for i, o in enumerate(ops):
         u = level_data[i].u if i < len(level_data) else None
+        ut = None
+        if u is not None:
+            # Gather-form U^T with a static children cap (no sync; the
+            # overflow flag joins the deferred diagnostics).  The mean
+            # children count is 3 * Vf / n_real; the cap uses the
+            # planned (padded) coarse size, so relative to the real
+            # count the headroom factor is ~6 * plan_ratio.
+            cap = min(-(-max(8, 6 * 3 * u.n_fine // u.n_coarse) // 8) * 8,
+                      u.n_fine)
+            ut, rt_ovf = build_restriction(u, cap)
+            diags[i] = diags[i]._replace(rt_overflow=rt_ovf)
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
                 if cfg.smoother == "chebyshev" else None)
-        solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb))
+        solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut))
     chol = factor_coarse(ops[-1])
     solver = SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol)
     return (Hierarchy(graphs=tuple(graphs), levels=tuple(level_data),
                       solver=solver), diags)
+
+
+def compact_solver(solver: SolverHierarchy,
+                   diags: Sequence[LevelDiagnostics],
+                   row_multiple: int = 256,
+                   col_multiple: int = 8) -> SolverHierarchy:
+    """Slice the solver hierarchy down to tight per-level buckets.
+
+    The device-resident builder plans conservative static caps
+    (plan_levels, ~2.5x reduction) while disc sampling actually reduces
+    by ~4-13x, so coarse levels carry up to ~3x phantom rows and padded
+    96-wide operators -- wasted SpMV work in every cycle.  Because real
+    coarse vertices always occupy a slot *prefix* (samples come from
+    ``jnp.nonzero(..., size=cap)``) and every ELL row keeps its valid
+    entries in an ascending prefix, compaction is pure slicing:
+
+      * rows of each coarse operator / U / U^T to the real count
+        (rounded up to ``row_multiple``; phantom rows are decoupled
+        identity rows so keeping a few is harmless),
+      * ELL columns to the observed max degree (rounded to
+        ``col_multiple``),
+      * the dense Cholesky factor to its leading block -- valid because
+        phantoms are decoupled identity rows, making the padded operator
+        block-diagonal ``[[A_real, 0], [0, I]]``.
+
+    Syncs the diagnostics (n_real + per-level degree counts) to the
+    host: call after the performance-critical build phase.  The returned
+    hierarchy gives identical V-cycle results on real rows (phantom rows
+    never couple to real ones) at a fraction of the per-cycle FLOPs.
+    """
+    def r_up(x, m):
+        return -(-x // m) * m
+
+    levels = list(solver.levels)
+    n_levels = len(levels)
+    # Tight row counts per level (level 0 = fine, never padded).
+    rows = [levels[0].op.num_vertices]
+    for d in diags:
+        rows.append(int(d.n_real))
+    rows = rows[:n_levels]
+    tight = [rows[0]] + [
+        min(r_up(r, row_multiple), levels[i + 1].op.num_vertices)
+        for i, r in enumerate(rows[1:])]
+
+    new_levels = []
+    for i, lvl in enumerate(levels):
+        t = tight[i]
+        op = lvl.op
+        valid_counts = jnp.sum(op.mask[:t], axis=1)
+        d_max = int(jnp.max(valid_counts))
+        kd = min(r_up(max(d_max, 1), col_multiple), op.max_degree)
+        op = EllOperator(neighbors=op.neighbors[:t, :kd],
+                         offdiag=op.offdiag[:t, :kd],
+                         diag=op.diag[:t])
+        u = lvl.u
+        ut = lvl.ut
+        if u is not None:
+            tc = tight[i + 1]
+            u = Prolongation(cols=u.cols[:t], weights=u.weights[:t],
+                             n_coarse=tc)
+            if ut is not None:
+                c_max = int(jnp.max(jnp.sum(ut.mask[:tc], axis=1)))
+                kc = min(r_up(max(c_max, 1), col_multiple),
+                         ut.max_children)
+                ut = ut._replace(rows=ut.rows[:tc, :kc],
+                                 weights=ut.weights[:tc, :kc],
+                                 n_fine=t)
+        new_levels.append(lvl._replace(op=op, u=u, ut=ut))
+
+    tl = tight[-1]
+    chol = solver.coarse_chol[:tl, :tl]
+    return SolverHierarchy(levels=tuple(new_levels), coarse_chol=chol)
 
 
 def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
@@ -179,6 +264,8 @@ def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
             problems.append("Galerkin degree cap (rap_cap) overflow")
         if bool(d.sampling_undecided):
             problems.append("sampling_rounds too small (undecided left)")
+        if bool(d.rt_overflow):
+            problems.append("U^T children cap overflow")
         if problems:
             raise RuntimeError(
                 f"device-resident build level {i}: " + "; ".join(problems)

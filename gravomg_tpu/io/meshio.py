@@ -80,19 +80,44 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     uchar-list int triangle faces, the format write_ply emits)."""
     with open(path, "rb") as fh:
         line = fh.readline().strip()
-        assert line == b"ply", "not a PLY file"
+        if line != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
         nv = nf = 0
-        props: list = []
+        fmt_seen = False
+        cur_element = None
+        vertex_props: list = []
         while True:
             line = fh.readline().strip()
             if line == b"end_header":
                 break
             parts = line.split()
-            if parts[0] == b"element":
+            if not parts or parts[0] == b"comment":
+                continue
+            if parts[0] == b"format":
+                fmt_seen = True
+                if parts[1] != b"binary_little_endian":
+                    raise ValueError(
+                        f"{path}: unsupported PLY format "
+                        f"{parts[1].decode()} (only binary_little_endian)")
+            elif parts[0] == b"element":
+                cur_element = parts[1]
                 if parts[1] == b"vertex":
                     nv = int(parts[2])
                 elif parts[1] == b"face":
                     nf = int(parts[2])
+                else:
+                    raise ValueError(
+                        f"{path}: unsupported PLY element "
+                        f"{parts[1].decode()}")
+            elif parts[0] == b"property" and cur_element == b"vertex":
+                vertex_props.append(tuple(parts[1:]))
+        if not fmt_seen:
+            raise ValueError(f"{path}: PLY header missing format line")
+        if vertex_props != [(b"float", b"x"), (b"float", b"y"),
+                            (b"float", b"z")]:
+            raise ValueError(
+                f"{path}: unsupported vertex layout {vertex_props} "
+                "(only three float x/y/z properties)")
         verts = np.frombuffer(fh.read(nv * 12), np.float32).reshape(nv, 3)
         faces = None
         if nf:

@@ -56,5 +56,9 @@ def load_solver(path: str) -> SolverHierarchy:
             lo, hi = z[f"l{i}_cheb"]
             cheb = ChebyshevParams(jnp.asarray(lo), jnp.asarray(hi))
         levels.append(SolverLevel(op=op, u=u, cheb=cheb))
-    return SolverHierarchy(levels=tuple(levels),
-                           coarse_chol=jnp.asarray(z["coarse_chol"]))
+    from gravomg_tpu.solve.vcycle import attach_restrictions
+    # The gather-form U^T tables are derived data; recompute on load
+    # rather than storing the transpose redundantly.
+    return attach_restrictions(
+        SolverHierarchy(levels=tuple(levels),
+                        coarse_chol=jnp.asarray(z["coarse_chol"])))

@@ -72,7 +72,12 @@ def pad_solver_fine_level(h: SolverHierarchy, mult: int) -> SolverHierarchy:
     if u is not None:
         new_u = u._replace(cols=pad_axis(u.cols, mult, fill=0),
                            weights=pad_axis(u.weights, mult, fill=0.0))
-    new_lvl = lvl._replace(op=new_op, u=new_u)
+    # The gather-form U^T table stays valid: padded fine rows have zero
+    # weights, so they were never in the table; only the static fine
+    # count needs refreshing.
+    new_ut = (lvl.ut._replace(n_fine=v + pad)
+              if lvl.ut is not None else None)
+    new_lvl = lvl._replace(op=new_op, u=new_u, ut=new_ut)
     return h._replace(levels=(new_lvl,) + h.levels[1:])
 
 

@@ -252,7 +252,12 @@ def prolong(u_op: Prolongation, coarse_values: jax.Array) -> jax.Array:
 
 def restrict(u_op: Prolongation, fine_values: jax.Array) -> jax.Array:
     """Apply U^T: coarse = U^T @ fine.  Restriction is U^T in the Gravo MG
-    method (reference `README.md:1` names it; never materialized there)."""
+    method (reference `README.md:1` names it; never materialized there).
+
+    Scatter-form fallback; on TPU this lowers to sort-based code, so the
+    solver hot path uses the precomputed gather-form
+    :func:`build_restriction` / :func:`restrict_gather` instead.
+    """
     if fine_values.ndim == 1:
         contrib = u_op.weights * fine_values[:, None]
         out = jnp.zeros((u_op.n_coarse,), fine_values.dtype)
@@ -262,6 +267,52 @@ def restrict(u_op: Prolongation, fine_values: jax.Array) -> jax.Array:
                     fine_values.dtype)
     return out.at[u_op.cols.reshape(-1)].add(
         contrib.reshape(-1, fine_values.shape[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("max_children",))
+def build_restriction(u_op: Prolongation,
+                      max_children: int) -> Tuple["Restriction", jax.Array]:
+    """Precompute gather-form U^T: per coarse vertex, the (fine row, U
+    weight) pairs that contribute to it.  Built once per hierarchy; turns
+    every restriction in the V-cycle from a TPU scatter (sort-lowered)
+    into a fixed-shape gather + row-reduce.
+
+    Zero-weight U entries (padded fine rows, duplicated slots) are
+    dropped.  Returns (Restriction, overflow flag) -- overflow means some
+    coarse vertex has more than ``max_children`` contributing fine
+    entries and the table is invalid.
+    """
+    from gravomg_tpu.ops.segment import group_ordered
+    from gravomg_tpu.types import Restriction
+
+    vf = u_op.n_fine
+    nc = u_op.n_coarse
+    cols = u_op.cols.reshape(-1)                     # (3 Vf,)
+    w = u_op.weights.reshape(-1)
+    valid = (w != 0.0)
+    # Pack (fine row, slot) into one int32 payload; group by coarse col.
+    fine_ids = jnp.repeat(
+        jnp.arange(vf, dtype=jnp.int32), 3, total_repeat_length=3 * vf)
+    slot_ids = jnp.tile(jnp.arange(3, dtype=jnp.int32), vf)
+    payload = fine_ids * 4 + slot_ids
+    table, _, overflow = group_ordered(cols, payload, valid, nc,
+                                       max_children)
+    tmask = table != INVALID_INDEX
+    safe = jnp.where(tmask, table, 0)
+    rows = safe >> 2
+    slots = safe & 3
+    weights = jnp.where(tmask, u_op.weights[rows, slots], 0.0)
+    rows = jnp.where(tmask, rows, INVALID_INDEX)
+    return Restriction(rows=rows, weights=weights, n_fine=vf), overflow
+
+
+def restrict_gather(rt, fine_values: jax.Array) -> jax.Array:
+    """Apply U^T via the precomputed children table: a fixed-shape
+    gather + row-reduce (same shape recipe as spmv)."""
+    safe = rt.safe_rows()
+    if fine_values.ndim == 1:
+        return jnp.sum(rt.weights * fine_values[safe], axis=1)
+    return jnp.einsum("ck,ckd->cd", rt.weights, fine_values[safe])
 
 
 def projected_points(u_op: Prolongation,

@@ -34,12 +34,21 @@ def galerkin_rap(op: EllOperator, u: Prolongation, max_degree: int,
     vf, k = op.neighbors.shape
     if vf <= chunk_rows:
         out, ovf = _galerkin_rap_full(op, u, max_degree)
-        # Bucket-phantom coarse rows receive no contributions; identity
-        # diagonals keep smoothers / Cholesky well-posed (cannot occur
-        # for real rows of an SPD operator).
-        out = out._replace(diag=jnp.where(out.diag == 0.0, 1.0, out.diag))
+        out = out._replace(diag=_phantom_identity(out))
         return out, ovf
     return _galerkin_rap_chunked(op, u, max_degree, chunk_rows)
+
+
+def _phantom_identity(out: EllOperator) -> jax.Array:
+    """Identity diagonal for bucket-phantom rows only.
+
+    Phantom rows receive no contributions at all (no U column points at
+    them), so they are identified by an entirely empty row -- not by a
+    zero diagonal, which a real degenerate row could also produce via
+    cancellation; such a row keeps its zero diagonal and surfaces in the
+    coarse factorization instead of being silently rewritten."""
+    empty = (out.diag == 0.0) & ~jnp.any(out.mask, axis=1)
+    return jnp.where(empty, 1.0, out.diag)
 
 
 def _merge_ell(cols_a, vals_a, cols_b, vals_b, num_rows, out_cols):
@@ -112,9 +121,8 @@ def _galerkin_rap_chunked(op: EllOperator, u: Prolongation,
     order = jnp.argsort(off_cols, axis=1, stable=True)
     off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
     off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
-    diag = jnp.where(diag == 0.0, 1.0, diag)
-    return (EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag),
-            ovf)
+    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
+    return out._replace(diag=_phantom_identity(out)), ovf
 
 
 @functools.partial(jax.jit, static_argnames=("max_degree",))

@@ -3,8 +3,7 @@
 The solver half is absent from the reference fork (SURVEY.md §0); its
 contract is fixed by the hierarchy semantics plus BASELINE.json (blocked
 ELL SpMV, north star).  The padded ELL layout makes SpMV a fixed-shape
-gather + multiply + row-reduce -- ideal for the VPU; a Pallas kernel
-specialization lives in gravomg_tpu/ops/ell_pallas.py.
+gather + multiply + row-reduce -- ideal for the VPU.
 """
 
 from __future__ import annotations

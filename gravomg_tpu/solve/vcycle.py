@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from gravomg_tpu.config import MultigridConfig
-from gravomg_tpu.types import EllOperator, Prolongation
+from gravomg_tpu.types import EllOperator, Prolongation, Restriction
 from gravomg_tpu.solve.spmv import spmv
 from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
                                          weighted_jacobi)
@@ -25,6 +25,10 @@ class SolverLevel(NamedTuple):
     op: EllOperator
     u: Optional[Prolongation]           # maps next-coarser level -> this one
     cheb: Optional[ChebyshevParams]
+    # Gather-form U^T (children table).  Optional: scatter-form restrict
+    # is the fallback; the hot path wants this populated (TPU scatters
+    # lower to sorts).
+    ut: Optional[Restriction] = None
 
 
 class SolverHierarchy(NamedTuple):
@@ -41,7 +45,8 @@ def _smooth(level: SolverLevel, x, b, iters: int, cfg: MultigridConfig):
 def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
             cfg: MultigridConfig) -> jax.Array:
     """One V(pre, post) cycle on the finest level."""
-    from gravomg_tpu.prolong.operator import prolong, restrict
+    from gravomg_tpu.prolong.operator import (prolong, restrict,
+                                              restrict_gather)
 
     def descend(lvl: int, x, b):
         level = h.levels[lvl]
@@ -49,7 +54,10 @@ def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
             return coarse_solve(h.coarse_chol, b)
         x = _smooth(level, x, b, cfg.pre_smooth, cfg)
         r = b - spmv(level.op, x)
-        rc = restrict(level.u, r)
+        if level.ut is not None:
+            rc = restrict_gather(level.ut, r)
+        else:
+            rc = restrict(level.u, r)
         ec = descend(lvl + 1, jnp.zeros_like(rc), rc)
         x = x + prolong(level.u, ec)
         return _smooth(level, x, b, cfg.post_smooth, cfg)
@@ -58,6 +66,34 @@ def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
 
 
 import functools
+
+
+def attach_restrictions(h: SolverHierarchy,
+                        max_children: Optional[int] = None,
+                        _sync: bool = True) -> SolverHierarchy:
+    """Populate every level's gather-form U^T table.
+
+    Host-level: reads the overflow flag and retries with a doubled
+    children cap (staged doubling) until the table fits.  ``max_children``
+    seeds the cap; default is 4x the mean children count (3 entries per
+    fine vertex spread over n_coarse), rounded to a multiple of 8.
+    """
+    from gravomg_tpu.prolong.operator import build_restriction
+
+    levels = []
+    for lvl in h.levels:
+        if lvl.u is None or lvl.ut is not None:
+            levels.append(lvl)
+            continue
+        vf, nc = lvl.u.n_fine, lvl.u.n_coarse
+        cap = max_children or max(8, -(-4 * 3 * vf // nc))
+        cap = min(-(-cap // 8) * 8, vf)
+        rt, ovf = build_restriction(lvl.u, cap)
+        while _sync and bool(ovf) and cap < vf:
+            cap = min(2 * cap, vf)
+            rt, ovf = build_restriction(lvl.u, cap)
+        levels.append(lvl._replace(ut=rt))
+    return h._replace(levels=tuple(levels))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -127,6 +127,49 @@ class Prolongation(NamedTuple):
         return u.at[rows, self.cols].add(self.weights)
 
 
+@jax.tree_util.register_pytree_node_class
+class Restriction(NamedTuple):
+    """Gather-form U^T: children-ELL table per coarse vertex.
+
+    Restriction is U^T in the Gravo MG method (reference `README.md:1`;
+    never materialized there).  A scatter-form `out.at[cols].add` lowers
+    to sort-based code on TPU; this precomputed transpose makes
+    restriction a fixed-shape gather + row-reduce exactly like SpMV:
+        coarse[c] = sum_j weights[c, j] * fine[rows[c, j]].
+
+    Attributes:
+      rows:    (n_coarse, C) int32 fine-vertex indices, INVALID_INDEX pad.
+      weights: (n_coarse, C) float U[rows[c, j], c]; 0 in padding.
+      n_fine:  static int (aux), number of fine rows of U.
+    """
+
+    rows: jax.Array
+    weights: jax.Array
+    n_fine: int
+
+    def tree_flatten(self):
+        return (self.rows, self.weights), self.n_fine
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @property
+    def n_coarse(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def max_children(self) -> int:
+        return self.rows.shape[1]
+
+    @property
+    def mask(self) -> jax.Array:
+        return _is_valid(self.rows)
+
+    def safe_rows(self) -> jax.Array:
+        return safe_gather_index(self.rows)
+
+
 class EllOperator(NamedTuple):
     """Square sparse symmetric operator (e.g. a Laplacian) in ELL form.
 

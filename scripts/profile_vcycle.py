@@ -1,0 +1,148 @@
+"""Micro-profile the V-cycle at bench scale: per-piece slope timings.
+
+Isolates each component of a V-cycle (per-level SpMV, smoother,
+restrict, prolong, coarse solve) using the same single-launch
+fori_loop slope protocol as bench.py, so the constant per-launch
+dispatch cost cancels and the numbers are true per-op execution times.
+
+Usage:  python scripts/profile_vcycle.py [n_vertices]
+Prints one line per piece: name, per-iteration ms, level shapes.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".bench_cache", "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import gravomg_tpu as g
+from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+from gravomg_tpu.geometry.meshes import torus_points
+from gravomg_tpu.hierarchy_static import build_hierarchy_device
+from gravomg_tpu.solve.spmv import spmv
+from gravomg_tpu.solve.smoothers import chebyshev
+from gravomg_tpu.solve.coarse import coarse_solve
+from gravomg_tpu.prolong.operator import prolong, restrict
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+pts = torus_points(N, seed=1).astype(np.float32)
+cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
+graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
+lap, mass = g.graph_laplacian(graph, "invdist")
+spd = lap._replace(diag=lap.diag + 0.5 * mass)
+h, diags = build_hierarchy_device(graph, spd, cfg)
+sol = h.solver
+probe = float(jnp.sum(sol.levels[-1].op.diag))  # completion barrier
+
+shapes = [(l.op.num_vertices, l.op.max_degree) for l in sol.levels]
+print(f"# levels (padded V, K): {shapes}", file=sys.stderr)
+
+
+def slope_ms(make_fn, n1=3, n2=13, reps=3):
+    """Per-iteration ms of fn iterated inside one jitted fori_loop."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(args, iters):
+        def body(_, a):
+            return make_fn(a)
+        return jax.lax.fori_loop(0, iters, body, args)
+
+    def timed(iters):
+        out = run(args0, iters)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()[:4]))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(args0, iters)
+            float(jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()[:4]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(n1)
+    t2 = timed(n2)
+    return (t2 - t1) / (n2 - n1) * 1000.0
+
+
+results = {}
+
+for i, lvl in enumerate(sol.levels):
+    v = lvl.op.num_vertices
+    args0 = jnp.asarray(np.random.default_rng(i).normal(size=v), jnp.float32)
+    op = lvl.op
+
+    def mk_spmv(x, op=op):
+        return spmv(op, x) * 0.5 + x * 1e-6   # keep loop-carried shape
+
+    results[f"spmv_L{i}"] = slope_ms(mk_spmv)
+
+    if lvl.cheb is not None:
+        b = jnp.ones((v,), jnp.float32)
+
+        def mk_cheb(x, op=op, cheb=lvl.cheb, b=b):
+            return chebyshev(op, x, b, cheb, cfg.chebyshev_degree) * 0.5
+
+        results[f"cheb_L{i}"] = slope_ms(mk_cheb)
+
+for i, lvl in enumerate(sol.levels[:-1]):
+    u = lvl.u
+    vf = u.n_fine
+    nc = u.n_coarse
+    fine = jnp.asarray(np.random.default_rng(7).normal(size=vf), jnp.float32)
+    coarse = jnp.asarray(np.random.default_rng(8).normal(size=nc),
+                         jnp.float32)
+
+    args0 = fine
+
+    def mk_restrict(x, u=u, vf=vf):
+        r = restrict(u, x)
+        return jnp.zeros((vf,), x.dtype).at[:r.shape[0]].set(0.0) + x * 0.5 \
+            + jnp.sum(r) * 1e-9
+
+    results[f"restrict_L{i}"] = slope_ms(mk_restrict)
+
+    args0 = coarse
+
+    def mk_prolong_back(c, u=u, nc=nc):
+        f = prolong(u, c)
+        r = restrict(u, f)
+        return r * 0.25
+
+    results[f"prolong+restrict_L{i}"] = slope_ms(mk_prolong_back)
+
+nclast = sol.levels[-1].op.num_vertices
+args0 = jnp.asarray(np.random.default_rng(9).normal(size=nclast), jnp.float32)
+chol = sol.coarse_chol
+
+
+def mk_coarse(b):
+    return coarse_solve(chol, b) * 0.5 + b * 0.1
+
+
+results["coarse_solve"] = slope_ms(mk_coarse)
+
+# Full V-cycle for cross-check.
+b0 = jnp.asarray(np.random.default_rng(0).normal(size=shapes[0][0]),
+                 jnp.float32)
+args0 = jnp.zeros_like(b0)
+
+
+def mk_vc(x):
+    return g.v_cycle(sol, x, b0, cfg)
+
+
+results["v_cycle_total"] = slope_ms(mk_vc)
+
+for k, v in results.items():
+    print(f"{k:24s} {v:10.3f} ms")

@@ -109,6 +109,31 @@ def test_device_resident_build_matches_staged(rng):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_compact_solver_preserves_solution(rng):
+    """Compaction (tight row/degree slicing) changes no real result:
+    same iterate on real rows, strictly smaller padded shapes."""
+    from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                              check_diagnostics,
+                                              compact_solver)
+    pts = torus_points(1500, seed=6)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    cfg = g.MultigridConfig(coarse_threshold=60)
+    h, diags = build_hierarchy_device(graph, spd, cfg)
+    check_diagnostics(diags)
+    hc = compact_solver(h.solver, diags, row_multiple=64)
+    for lc, lp, d in zip(hc.levels[1:], h.solver.levels[1:], diags):
+        assert lc.op.num_vertices <= lp.op.num_vertices
+        assert lc.op.num_vertices >= int(d.n_real)
+        assert lc.op.max_degree <= lp.op.max_degree
+    b = jnp.asarray(rng.normal(size=1500))
+    x1 = g.v_cycle(h.solver, jnp.zeros(1500), b, cfg)
+    x2 = g.v_cycle(hc, jnp.zeros(1500), b, cfg)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_rounds_sampling_matches_whileloop(rng):
     from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
                                               fast_disc_sample_rounds)

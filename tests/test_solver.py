@@ -78,6 +78,57 @@ def test_prolong_restrict_adjoint(rng):
     assert abs(lhs - rhs) < 1e-10
 
 
+def test_restriction_gather_matches_scatter(rng):
+    """Gather-form U^T (children table) is exactly the scatter form."""
+    from gravomg_tpu.prolong.operator import (build_restriction,
+                                              restrict_gather)
+    n, nc = 200, 30
+    cols = rng.integers(0, nc, size=(n, 3)).astype(np.int32)
+    w = rng.normal(size=(n, 3))
+    w[rng.random(size=(n, 3)) < 0.2] = 0.0      # exercise dropped zeros
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    rt, ovf = build_restriction(u, 64)
+    assert not bool(ovf)
+    y = jnp.asarray(rng.normal(size=n))
+    np.testing.assert_allclose(np.asarray(restrict_gather(rt, y)),
+                               np.asarray(g.restrict(u, y)),
+                               rtol=1e-12, atol=1e-12)
+    ym = jnp.asarray(rng.normal(size=(n, 3)))
+    np.testing.assert_allclose(np.asarray(restrict_gather(rt, ym)),
+                               np.asarray(g.restrict(u, ym)),
+                               rtol=1e-12, atol=1e-12)
+    # Overflow detection: a cap below the max children count flags.
+    counts = np.bincount(cols.reshape(-1)[w.reshape(-1) != 0],
+                         minlength=nc)
+    _, ovf2 = build_restriction(u, int(counts.max()) - 1)
+    assert bool(ovf2)
+
+
+def test_attach_restrictions_roundtrip(rng):
+    """attach_restrictions populates every level; v_cycle result is
+    unchanged vs the scatter-form path."""
+    op, dense = _random_ell_spd(rng, n=60)
+    nc = 20
+    cols = rng.integers(0, nc, size=(60, 3)).astype(np.int32)
+    w = rng.random(size=(60, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    coarse, _ = g.galerkin_rap(op, u, nc)
+    cfg = g.MultigridConfig()
+    h = g.SolverHierarchy(
+        levels=(g.SolverLevel(op=op, u=u, cheb=None),
+                g.SolverLevel(op=coarse, u=None, cheb=None)),
+        coarse_chol=factor_coarse(coarse))
+    hg = g.attach_restrictions(h)
+    assert hg.levels[0].ut is not None
+    b = jnp.asarray(rng.normal(size=60))
+    x_scatter = g.v_cycle(h, jnp.zeros(60), b, cfg)
+    x_gather = g.v_cycle(hg, jnp.zeros(60), b, cfg)
+    np.testing.assert_allclose(np.asarray(x_gather),
+                               np.asarray(x_scatter),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_jacobi_and_chebyshev_reduce_error(rng):
     op, dense = _random_ell_spd(rng, n=80)
     x_true = rng.normal(size=80)
