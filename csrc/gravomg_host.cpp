@@ -17,11 +17,13 @@
 // Loaded via ctypes (gravomg_tpu/io/native.py); no pybind11 dependency.
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <limits>
+#include <map>
 #include <queue>
 #include <utility>
 #include <vector>
@@ -33,6 +35,21 @@ constexpr int32_t kInvalid = INT32_MAX;
 inline double dist3(const double* a, const double* b) {
     const double dx = a[0] - b[0], dy = a[1] - b[1], dz = a[2] - b[2];
     return std::sqrt(dx * dx + dy * dy + dz * dz);
+}
+
+struct Vec3 {
+    double x, y, z;
+    Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+    Vec3 operator*(double s) const { return {x * s, y * s, z * s}; }
+    double dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+    Vec3 cross(const Vec3& o) const {
+        return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+    }
+    double norm() const { return std::sqrt(dot(*this)); }
+};
+
+inline Vec3 vat(const double* pts, int64_t i) {
+    return {pts[i * 3], pts[i * 3 + 1], pts[i * 3 + 2]};
 }
 
 }  // namespace
@@ -181,6 +198,327 @@ int64_t gmg_read_obj(const char* path, double* out_verts,
     *out_nv = nv;
     *out_nf = nf;
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Full sequential hierarchy build (reference CS-1 pipeline semantics,
+// `/root/reference/test/main.cpp:47-186`, per-stage contracts in
+// SURVEY.md §2.1).  This is the measured CPU baseline for the
+// "hierarchy construction" BASELINE metric: the same per-level stages
+// the reference executes (sampling C4, parents C6, coarse edges C7,
+// placement C8, triangles C9, prolongation C12), over the library's ELL
+// layout, written from the documented behavioral contract (mirrors
+// tests/oracle.py, not the reference source).
+// ---------------------------------------------------------------------
+
+namespace {
+
+// C10 `inTriangle` semantics (`src/multigrid.cpp:18-55`) including the
+// side-channel map protocol: first-encounter score with the
+// UNNORMALIZED edge vector (the reference's off-by-|e|^2 quirk),
+// unconditional kill overwrite.  Returns |distance to plane| or -1.
+double in_triangle(const Vec3& p, const std::array<int32_t, 3>& tri,
+                   const Vec3& normal, const double* pos,
+                   std::map<int32_t, double>& inside_edge,
+                   double* bary_out) {
+    const Vec3 v1 = vat(pos, tri[0]), v2 = vat(pos, tri[1]),
+               v3 = vat(pos, tri[2]);
+    const Vec3 v1_to_p = p - v1;
+    const Vec3 e12 = v2 - v1, e13 = v3 - v1;
+    const double dist_to_plane = (p - v1).dot(normal);
+    const Vec3 p_proj = p - normal * dist_to_plane;
+    const double double_area = (v2 - v1).cross(v3 - v1).dot(normal);
+    const double b0 = (v3 - v2).cross(p_proj - v2).dot(normal) / double_area;
+    const double b1 = (v1 - v3).cross(p_proj - v3).dot(normal) / double_area;
+    const double b2 = 1.0 - b0 - b1;
+    if (inside_edge.find(tri[1]) == inside_edge.end())
+        inside_edge[tri[1]] = (v1_to_p - e12 * v1_to_p.dot(e12)).norm();
+    if (inside_edge.find(tri[2]) == inside_edge.end())
+        inside_edge[tri[2]] = (v1_to_p - e13 * v1_to_p.dot(e13)).norm();
+    if (b0 < 0.0 || b1 < 0.0) inside_edge[tri[1]] = -1.0;
+    if (b0 < 0.0 || b2 < 0.0) inside_edge[tri[2]] = -1.0;
+    bary_out[0] = b0;
+    bary_out[1] = b1;
+    bary_out[2] = b2;
+    if (b0 >= 0.0 && b1 >= 0.0 && b2 >= 0.0) return std::fabs(dist_to_plane);
+    return -1.0;
+}
+
+void invdist_weights(const double* pos, const Vec3& p, const int32_t* cols,
+                     int n, double* w) {
+    double s = 0.0;
+    for (int i = 0; i < n; ++i) {
+        const double d = (p - vat(pos, cols[i])).norm();
+        w[i] = 1.0 / std::max(1e-8, d);
+        s += w[i];
+    }
+    for (int i = 0; i < n; ++i) w[i] /= s;
+}
+
+struct LevelGraph {
+    int64_t v = 0;
+    int32_t k = 0;
+    std::vector<int32_t> nbr;   // (v, k) ELL, ascending, kInvalid pad
+    std::vector<double> dist;   // (v, k)
+    std::vector<double> points; // (v, 3)
+};
+
+// One full coarsening step; returns the coarse LevelGraph and fills U.
+LevelGraph coarsen_level(const LevelGraph& g, double reduction_ratio,
+                         int scheme, std::vector<int32_t>& u_cols,
+                         std::vector<double>& u_weights) {
+    const int64_t v = g.v;
+    const int32_t k = g.k;
+
+    // C5 radius (`test/main.cpp:23,74`).
+    double total = 0.0;
+    int64_t ne = 0;
+    for (int64_t i = 0; i < v * k; ++i)
+        if (g.nbr[i] != kInvalid) { total += g.dist[i]; ++ne; }
+    const double radius = std::cbrt(reduction_ratio)
+        * (ne ? total / static_cast<double>(ne) : 0.0);
+
+    // C4 sampling + C6 parents.
+    std::vector<int32_t> samples(v);
+    const int64_t nc = gmg_disc_sample(v, k, g.nbr.data(), g.dist.data(),
+                                       radius, samples.data());
+    samples.resize(nc);
+    std::vector<int32_t> parents(v);
+    std::vector<double> pdist(v);
+    gmg_assign_parents(v, k, g.nbr.data(), g.points.data(), samples.data(),
+                       nc, parents.data(), pdist.data());
+
+    // C7 coarse adjacency pattern (only the pattern matters downstream,
+    // SURVEY.md §2.1-C7): sorted unique neighbor lists.
+    std::vector<std::vector<int32_t>> adj(nc);
+    for (int64_t i = 0; i < v; ++i) {
+        const int32_t p = parents[i];
+        for (int32_t a = 0; a < k; ++a) {
+            const int32_t n = g.nbr[i * k + a];
+            if (n == kInvalid) continue;
+            const int32_t q = parents[n];
+            if (p != q) adj[p].push_back(q);
+        }
+    }
+    for (auto& l : adj) {
+        std::sort(l.begin(), l.end());
+        l.erase(std::unique(l.begin(), l.end()), l.end());
+    }
+
+    // C8 placement: mean of children, lonely-cell patch.
+    std::vector<std::vector<int32_t>> children(nc);
+    for (int64_t i = 0; i < v; ++i)
+        children[parents[i]].push_back(static_cast<int32_t>(i));
+    std::vector<double> cpoints(nc * 3, 0.0);
+    for (int64_t c = 0; c < nc; ++c) {
+        auto cs = children[c];
+        if (cs.size() == 1) {
+            const int32_t seed = cs[0];
+            for (int32_t a = 0; a < k; ++a) {
+                const int32_t n = g.nbr[seed * k + a];
+                if (n != kInvalid) cs.push_back(n);
+            }
+            std::sort(cs.begin(), cs.end());
+            cs.erase(std::unique(cs.begin(), cs.end()), cs.end());
+        }
+        double m[3] = {0, 0, 0};
+        for (const int32_t f : cs)
+            for (int d = 0; d < 3; ++d) m[d] += g.points[f * 3 + d];
+        for (int d = 0; d < 3; ++d)
+            cpoints[c * 3 + d] = m[d] / static_cast<double>(cs.size());
+    }
+
+    // C9 Voronoi triangles in exact enumeration order + assoc lists.
+    std::vector<std::array<int32_t, 3>> tris;
+    std::vector<Vec3> tnormals;
+    std::vector<std::vector<int32_t>> assoc(nc);
+    for (int32_t v0 = 0; v0 < nc; ++v0) {
+        const auto& nl = adj[v0];
+        for (size_t ai = 0; ai < nl.size(); ++ai) {
+            const int32_t v1 = nl[ai];
+            if (v1 < v0) continue;
+            for (size_t bi = ai + 1; bi < nl.size(); ++bi) {
+                const int32_t v2 = nl[bi];
+                if (v2 < v0) continue;
+                if (!std::binary_search(adj[v1].begin(), adj[v1].end(), v2))
+                    continue;
+                const Vec3 e01 = vat(cpoints.data(), v1)
+                    - vat(cpoints.data(), v0);
+                const Vec3 e02 = vat(cpoints.data(), v2)
+                    - vat(cpoints.data(), v0);
+                Vec3 n = e01.cross(e02);
+                const double nn = n.norm();
+                if (nn > 0) n = n * (1.0 / nn);
+                const int32_t tid = static_cast<int32_t>(tris.size());
+                tris.push_back({v0, v1, v2});
+                tnormals.push_back(n);
+                assoc[v0].push_back(tid);
+                assoc[v1].push_back(tid);
+                assoc[v2].push_back(tid);
+            }
+        }
+    }
+
+    // C12 prolongation: the 5-case analysis with exact tie-breaks.
+    u_cols.assign(v * 3, 0);
+    u_weights.assign(v * 3, 0.0);
+    auto emit = [&](int64_t i, int slot, int32_t col, double w) {
+        u_cols[i * 3 + slot] = col;
+        u_weights[i * 3 + slot] = w;
+    };
+    for (int64_t i = 0; i < v; ++i) {
+        const Vec3 p = vat(g.points.data(), i);
+        const int32_t c = parents[i];
+        const Vec3 pc = vat(cpoints.data(), c);
+        const auto& nl = adj[c];
+        if (nl.empty()) {                       // case 1
+            emit(i, 0, c, 1.0);
+            emit(i, 1, c, 0.0);
+            emit(i, 2, c, 0.0);
+            continue;
+        }
+        if (nl.size() == 1) {                   // case 2
+            const int32_t nb = nl[0];
+            const Vec3 seg = vat(cpoints.data(), nb) - pc;
+            const double seg_len = std::max(seg.norm(), 1e-8);
+            double t = (p - pc).dot(seg * (1.0 / seg.norm())) / seg_len;
+            t = std::min(std::max(t, 0.0), 1.0);
+            if (scheme == 0) {
+                emit(i, 0, c, 1.0 - t); emit(i, 1, nb, t);
+            } else if (scheme == 1) {
+                emit(i, 0, c, 0.5); emit(i, 1, nb, 0.5);
+            } else {
+                int32_t cols2[2] = {c, nb};
+                double w[2];
+                invdist_weights(cpoints.data(), p, cols2, 2, w);
+                emit(i, 0, c, w[0]); emit(i, 1, nb, w[1]);
+            }
+            emit(i, 2, c, 0.0);
+            continue;
+        }
+        // case 3: first containing triangle in association order.
+        std::map<int32_t, double> inside_edge;
+        bool found = false;
+        std::array<int32_t, 3> ctri{};
+        double bary[3];
+        for (const int32_t tid : assoc[c]) {
+            std::array<int32_t, 3> tri = tris[tid];
+            while (tri[0] != c) {               // rotate c into slot 0
+                const int32_t t0 = tri[0];
+                tri[0] = tri[1]; tri[1] = tri[2]; tri[2] = t0;
+            }
+            const double d = in_triangle(p, tri, tnormals[tid],
+                                         cpoints.data(), inside_edge, bary);
+            if (d >= 0.0) { found = true; ctri = tri; break; }
+        }
+        if (found) {
+            if (scheme == 0) {
+                for (int s = 0; s < 3; ++s) emit(i, s, ctri[s], bary[s]);
+            } else if (scheme == 1) {
+                for (int s = 0; s < 3; ++s) emit(i, s, ctri[s], 1.0 / 3.0);
+            } else {
+                double w[3];
+                invdist_weights(cpoints.data(), p, ctri.data(), 3, w);
+                for (int s = 0; s < 3; ++s) emit(i, s, ctri[s], w[s]);
+            }
+            continue;
+        }
+        // case 4 (fallback A): first surviving entry in ascending-key
+        // map order (`src/multigrid.cpp:414-421` break semantics).
+        int32_t chosen = -1;
+        for (const auto& [e, score] : inside_edge)
+            if (score >= 0.0) { chosen = e; break; }
+        if (chosen >= 0) {
+            const Vec3 seg = vat(cpoints.data(), chosen) - pc;
+            const double seg_len = std::max(seg.norm(), 1e-8);
+            double t = (p - pc).dot(seg * (1.0 / seg.norm())) / seg_len;
+            t = std::min(std::max(t, 0.0), 1.0);
+            if (scheme == 0) {
+                emit(i, 0, c, 1.0 - t); emit(i, 1, chosen, t);
+            } else if (scheme == 1) {
+                emit(i, 0, c, 0.5); emit(i, 1, chosen, 0.5);
+            } else {
+                int32_t cols2[2] = {c, chosen};
+                double w[2];
+                invdist_weights(cpoints.data(), p, cols2, 2, w);
+                emit(i, 0, c, w[0]); emit(i, 1, chosen, w[1]);
+            }
+            emit(i, 2, c, 0.0);
+            continue;
+        }
+        // case 5 (fallback B): parent + two nearest; always inverse
+        // distance regardless of scheme (`src/multigrid.cpp:476-481`).
+        std::vector<std::pair<double, int32_t>> cand;
+        cand.reserve(nl.size());
+        for (const int32_t n : nl)
+            cand.emplace_back((p - vat(cpoints.data(), n)).norm(), n);
+        std::sort(cand.begin(), cand.end());
+        const std::array<int32_t, 3> tri = {c, cand[0].second,
+                                            cand[1].second};
+        double w[3];
+        invdist_weights(cpoints.data(), p, tri.data(), 3, w);
+        for (int s = 0; s < 3; ++s) emit(i, s, tri[s], w[s]);
+    }
+
+    // Coarse LevelGraph: adjacency pattern + recomputed Euclidean
+    // distances (the library's convention; the reference's coarse edge
+    // weights are dead values, SURVEY.md §2.1-C7).
+    LevelGraph cg;
+    cg.v = nc;
+    int32_t kc = 0;
+    for (const auto& l : adj)
+        kc = std::max<int32_t>(kc, static_cast<int32_t>(l.size()));
+    cg.k = std::max<int32_t>(kc, 1);
+    cg.nbr.assign(nc * cg.k, kInvalid);
+    cg.dist.assign(nc * cg.k, std::numeric_limits<double>::infinity());
+    cg.points = cpoints;
+    for (int64_t c = 0; c < nc; ++c)
+        for (size_t a = 0; a < adj[c].size(); ++a) {
+            cg.nbr[c * cg.k + a] = adj[c][a];
+            cg.dist[c * cg.k + a] = (vat(cpoints.data(), c)
+                                     - vat(cpoints.data(), adj[c][a])).norm();
+        }
+    return cg;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full multilevel hierarchy build (sampling through prolongation per
+// level, stopping below `threshold` coarse vertices).  Writes per-level
+// coarse counts to out_level_sizes and a checksum of all prolongation
+// weights to out_u_checksum (sanity anchor for cross-implementation
+// comparisons).  Returns the number of coarsening steps performed.
+int32_t gmg_build_hierarchy(int64_t v, int32_t k, const int32_t* nbr,
+                            const double* dist, const double* points,
+                            double reduction_ratio, int64_t threshold,
+                            int32_t max_levels, int32_t scheme,
+                            int64_t* out_level_sizes,
+                            double* out_u_checksum) {
+    LevelGraph g;
+    g.v = v;
+    g.k = k;
+    g.nbr.assign(nbr, nbr + v * k);
+    g.dist.assign(dist, dist + v * k);
+    g.points.assign(points, points + v * 3);
+
+    double checksum = 0.0;
+    int32_t levels = 0;
+    while (levels < max_levels && g.v > threshold) {
+        std::vector<int32_t> u_cols;
+        std::vector<double> u_weights;
+        LevelGraph cg = coarsen_level(g, reduction_ratio, scheme, u_cols,
+                                      u_weights);
+        if (cg.v >= g.v || cg.v < 8) break;
+        for (const double w : u_weights) checksum += w;
+        out_level_sizes[levels++] = cg.v;
+        g = std::move(cg);
+    }
+    if (out_u_checksum) *out_u_checksum = checksum;
+    return levels;
 }
 
 }  // extern "C"

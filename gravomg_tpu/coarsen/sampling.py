@@ -36,6 +36,43 @@ from gravomg_tpu.types import Graph
 _UNDECIDED, _SELECTED, _REJECTED = 0, 1, 2
 
 
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def _prune_for_radius(graph: Graph, radius: jax.Array, k_cap: int):
+    """Keep only edges with d < radius, compacted to a (V, k_cap) prefix.
+
+    Exactness: both conflict clauses of the disc-sampling relation
+    (`src/sampling.cpp:31-46`) require every participating hop to be
+    individually shorter than ``radius`` (the 1-hop clause directly;
+    the 2-hop clause because the summed positive hops are < radius), so
+    the lex-first-MIS fixpoint over the pruned graph is identical.
+    Rows keep ascending neighbor order (stable compaction).  Returns
+    (neighbors, mask, distances, overflow); overflow means some row had
+    more than ``k_cap`` in-radius edges and the result is invalid.
+    """
+    keep = graph.mask & (graph.distances < radius)
+    # Stable sort pushes dropped entries to the end, preserving the
+    # ascending order of kept neighbors.
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    nbr = jnp.take_along_axis(graph.safe_neighbors(), order, axis=1)
+    dist = jnp.take_along_axis(graph.distances, order, axis=1)
+    kept = jnp.take_along_axis(keep, order, axis=1)
+    counts = jnp.sum(keep, axis=1)
+    overflow = jnp.any(counts > k_cap)
+    return (jnp.where(kept, nbr, 0)[:, :k_cap], kept[:, :k_cap],
+            jnp.where(kept, dist, jnp.inf)[:, :k_cap], overflow)
+
+
+@jax.jit
+def prune_overflow(graph: Graph, radius: jax.Array,
+                   k_cap: int) -> jax.Array:
+    """Device-side bool: True if some row has more than ``k_cap``
+    in-radius edges (i.e. a pruned sampling at that cap is invalid).
+    O(V K) counting only -- callers that cannot sync fold this into
+    their deferred diagnostics."""
+    counts = jnp.sum(graph.mask & (graph.distances < radius), axis=1)
+    return jnp.any(counts > k_cap)
+
+
 def average_edge_length(graph: Graph) -> jax.Array:
     """Reference C5 ``averageEdgeLength`` (`src/multigrid.cpp:127-133`).
 
@@ -57,86 +94,14 @@ def sampling_radius(graph: Graph, reduction_ratio: float = 2.0) -> jax.Array:
     return jnp.cbrt(reduction_ratio) * average_edge_length(graph)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds", "chunk"))
-def fast_disc_sample_mask(graph: Graph, radius: jax.Array,
-                          max_rounds: int = 4096,
-                          chunk: int = 8192) -> jax.Array:
-    """Greedy Poisson-disc selection mask, parallel lex-first-MIS rounds.
+def _round_update(nbr, m, d, radius, status, chunk):
+    """One lex-first-MIS round over pruned (V, Kr) conflict tables.
 
-    Returns a (V,) bool mask; `mask.nonzero()` (ascending) equals the
-    reference's selection list, which is also emitted in ascending vertex
-    order (`src/sampling.cpp:22-28`).
-
-    The (V, K, K) two-hop conflict tensor is never materialized globally:
-    each round recomputes it per ``chunk`` rows of vertices, keeping peak
-    memory O(chunk * K^2) regardless of V.  Termination is guaranteed:
-    dependencies point strictly toward smaller indices, so the smallest
-    undecided vertex is decidable every round.
+    The (chunk, Kr, Kr) two-hop tensor is never materialized globally:
+    each round recomputes it per ``chunk`` rows, keeping peak memory
+    O(chunk * Kr^2) regardless of V.
     """
-    nbr = graph.safe_neighbors()
-    m = graph.mask
-    d = graph.distances
-    v, k = nbr.shape
-    vpad = ((v + chunk - 1) // chunk) * chunk
-    pad = vpad - v
-    nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)))
-    m_p = jnp.pad(m, ((0, pad), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=jnp.inf)
-    idx_p = jnp.arange(vpad, dtype=jnp.int32)
-
-    def round_body(state):
-        status, _, it = state
-
-        def per_chunk(c0):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk, chunk)
-            cn, cm, cd, cidx = sl(nbr_p), sl(m_p), sl(d_p), sl(idx_p)
-            low1 = cm & (cd < radius) & (cn < cidx[:, None])
-            nn = jnp.where(cm[:, :, None], nbr[cn], 0)
-            nn_mask = cm[:, :, None] & m[cn]
-            d2 = cd[:, :, None] + jnp.where(nn_mask, d[cn], jnp.inf)
-            low2 = nn_mask & (d2 < radius) & (nn < cidx[:, None, None])
-            s1 = status[cn]
-            s2 = status[nn]
-            sel_lower = (jnp.any(low1 & (s1 == _SELECTED), axis=1)
-                         | jnp.any(low2 & (s2 == _SELECTED), axis=(1, 2)))
-            undec_lower = (jnp.any(low1 & (s1 == _UNDECIDED), axis=1)
-                           | jnp.any(low2 & (s2 == _UNDECIDED), axis=(1, 2)))
-            cstat = status[cidx]
-            undecided = cstat == _UNDECIDED
-            return jnp.where(
-                undecided & sel_lower, _REJECTED,
-                jnp.where(undecided & ~undec_lower, _SELECTED,
-                          cstat)).astype(jnp.int8)
-
-        new_status = jax.lax.map(
-            per_chunk, jnp.arange(vpad // chunk)).reshape(vpad)[:v]
-        return new_status, status, it + 1
-
-    def cond(state):
-        status, prev, it = state
-        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
-                & (it < max_rounds))
-
-    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
-            jnp.int32(0))
-    status, _, _ = jax.lax.while_loop(cond, round_body, init)
-    return status == _SELECTED
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _disc_round(graph: Graph, radius: jax.Array, status: jax.Array,
-                chunk: int = 8192):
-    """One lex-first-MIS round as a standalone single-launch program.
-
-    Used by :func:`fast_disc_sample_rounds`, which drives rounds from
-    Python: on runtimes that kill long-running device programs, the
-    fused while_loop variant's single launch (rounds x chunks) exceeds
-    the watchdog at large V, while per-round launches stay short.
-    """
-    nbr = graph.safe_neighbors()
-    m = graph.mask
-    d = graph.distances
-    v, k = nbr.shape
+    v = nbr.shape[0]
     vpad = ((v + chunk - 1) // chunk) * chunk
     pad = vpad - v
     nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)))
@@ -165,23 +130,83 @@ def _disc_round(graph: Graph, radius: jax.Array, status: jax.Array,
             jnp.where(undecided & ~undec_lower, _SELECTED,
                       cstat)).astype(jnp.int8)
 
-    new_status = jax.lax.map(
-        per_chunk, jnp.arange(vpad // chunk)).reshape(vpad)[:v]
+    return jax.lax.map(per_chunk, jnp.arange(vpad // chunk)).reshape(vpad)[:v]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_rounds", "chunk", "prune_cap"))
+def fast_disc_sample_mask(graph: Graph, radius: jax.Array,
+                          max_rounds: int = 4096,
+                          chunk: int = 8192,
+                          prune_cap: int | None = None) -> jax.Array:
+    """Greedy Poisson-disc selection mask, parallel lex-first-MIS rounds.
+
+    Returns a (V,) bool mask; `mask.nonzero()` (ascending) equals the
+    reference's selection list, which is also emitted in ascending vertex
+    order (`src/sampling.cpp:22-28`).
+
+    Conflict edges all have length < radius, so the rounds run over the
+    radius-pruned (V, Kr) tables of :func:`_prune_for_radius`; with
+    ``prune_cap=None`` Kr = K and overflow is impossible (exact for any
+    graph).  A smaller static ``prune_cap`` cuts the dominant
+    (chunk, Kr, Kr) two-hop cost quadratically; rows with more than
+    ``prune_cap`` in-radius edges would make the result invalid, so
+    that variant is only used by callers that check the pruning
+    overflow flag (hierarchy_static folds it into the deferred
+    diagnostics).  Termination is guaranteed: dependencies point
+    strictly toward smaller indices, so the smallest undecided vertex
+    is decidable every round.
+    """
+    k_cap = graph.max_degree if prune_cap is None else prune_cap
+    nbr, m, d, _ = _prune_for_radius(graph, radius, k_cap)
+
+    def round_body(state):
+        status, _, it = state
+        return _round_update(nbr, m, d, radius, status, chunk), status, it + 1
+
+    def cond(state):
+        status, prev, it = state
+        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
+                & (it < max_rounds))
+
+    v = graph.num_vertices
+    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
+            jnp.int32(0))
+    status, _, _ = jax.lax.while_loop(cond, round_body, init)
+    return status == _SELECTED
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _disc_round(nbr, m, d, radius: jax.Array, status: jax.Array,
+                chunk: int = 8192):
+    """One lex-first-MIS round as a standalone single-launch program
+    over pruned conflict tables.
+
+    Used by :func:`fast_disc_sample_rounds`, which drives rounds from
+    Python: on runtimes that kill long-running device programs, the
+    fused while_loop variant's single launch (rounds x chunks) exceeds
+    the watchdog at large V, while per-round launches stay short.
+    """
+    new_status = _round_update(nbr, m, d, radius, status, chunk)
     return new_status, jnp.any(new_status == _UNDECIDED)
 
 
 def fast_disc_sample_rounds(graph: Graph, radius, rounds: int = 24,
-                            chunk: int = 8192):
+                            chunk: int = 8192,
+                            prune_cap: int | None = None):
     """Watchdog-safe sampling: a fixed number of short per-round
     launches (idempotent once converged).  Returns (mask, undecided)
     where ``undecided`` is a device-side bool diagnostic: True means
-    ``rounds`` was too small for this graph's dependency chains."""
+    ``rounds`` was too small for this graph's dependency chains (or,
+    with a ``prune_cap``, that the pruned tables overflowed)."""
     v = graph.num_vertices
+    k_cap = graph.max_degree if prune_cap is None else prune_cap
+    nbr, m, d, p_ovf = _prune_for_radius(graph, radius, k_cap)
     status = jnp.zeros((v,), jnp.int8)
     undec = jnp.bool_(True)
     for _ in range(rounds):
-        status, undec = _disc_round(graph, radius, status, chunk=chunk)
-    return status == _SELECTED, undec
+        status, undec = _disc_round(nbr, m, d, radius, status, chunk=chunk)
+    return status == _SELECTED, undec | p_ovf
 
 
 def fast_disc_sample(graph: Graph, radius, max_samples: int | None = None):

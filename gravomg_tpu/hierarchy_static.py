@@ -32,6 +32,7 @@ from gravomg_tpu.types import (EllOperator, Graph, Prolongation,
                                INVALID_INDEX)
 from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
                                           fast_disc_sample_rounds,
+                                          prune_overflow,
                                           sampling_radius)
 from gravomg_tpu.coarsen.parents import assign_parents
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
@@ -81,6 +82,7 @@ def build_hierarchy_device(
         level_caps: Optional[Sequence[int]] = None,
         kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
         rap_cap: int = 96, sampling_rounds: Optional[int] = None,
+        sample_prune_cap: Optional[int] = None,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -100,15 +102,23 @@ def build_hierarchy_device(
 
     for cap in level_caps:
         radius = sampling_radius(g, cfg.reduction_ratio)
+        # Radius-pruned conflict tables cut the dominant (chunk, Kr, Kr)
+        # sampling cost quadratically; the cap-validity flag joins the
+        # deferred diagnostics (no sync).
+        p_cap = (min(sample_prune_cap, g.max_degree)
+                 if sample_prune_cap is not None else None)
+        p_ovf = (prune_overflow(g, radius, p_cap)
+                 if p_cap is not None else jnp.bool_(False))
         if sampling_rounds is not None:
             # Fixed short per-round launches: runtimes with device-side
             # watchdogs kill the fused while_loop's single long launch
             # at large V (PROGRESS.md).
             mask, s_undec = fast_disc_sample_rounds(
-                g, radius, rounds=sampling_rounds)
+                g, radius, rounds=sampling_rounds, prune_cap=p_cap)
         else:
-            mask = fast_disc_sample_mask(g, radius)
+            mask = fast_disc_sample_mask(g, radius, prune_cap=p_cap)
             s_undec = jnp.bool_(False)
+        s_undec = s_undec | p_ovf
         mask = mask & fine_valid
         n_real = jnp.sum(mask).astype(jnp.int32)
         raw = jnp.nonzero(mask, size=cap, fill_value=g.num_vertices)[0]

@@ -54,6 +54,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                  ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_int64),
                                  ctypes.POINTER(ctypes.c_int64)]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    lib.gmg_build_hierarchy.restype = ctypes.c_int32
+    lib.gmg_build_hierarchy.argtypes = [
+        i64, ctypes.c_int32, i32p, f64p, f64p, ctypes.c_double, i64,
+        ctypes.c_int32, ctypes.c_int32, i64p,
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -110,6 +116,29 @@ def ell_spmv(neighbors: np.ndarray, offdiag: np.ndarray, diag: np.ndarray,
                      np.ascontiguousarray(diag, np.float64),
                      np.ascontiguousarray(x, np.float64), y)
     return y
+
+
+def build_hierarchy(neighbors: np.ndarray, distances: np.ndarray,
+                    points: np.ndarray, reduction_ratio: float = 2.0,
+                    threshold: int = 1000, max_levels: int = 16,
+                    scheme: int = 0) -> Tuple[np.ndarray, float]:
+    """Full sequential reference-semantics hierarchy build (C4->C12 per
+    level).  The measured CPU baseline for the BASELINE "hierarchy
+    construction" metric.  Returns (level_sizes, U weight checksum)."""
+    lib = _load()
+    assert lib is not None
+    v, k = neighbors.shape
+    sizes = np.zeros(max_levels, np.int64)
+    checksum = ctypes.c_double()
+    # Padding distances must be finite for the mean-edge reduction.
+    d = np.where(neighbors != np.int32(2**31 - 1), distances, 0.0)
+    n = lib.gmg_build_hierarchy(
+        v, k, np.ascontiguousarray(neighbors, np.int32),
+        np.ascontiguousarray(d, np.float64),
+        np.ascontiguousarray(points, np.float64),
+        float(reduction_ratio), int(threshold), int(max_levels),
+        int(scheme), sizes, ctypes.byref(checksum))
+    return sizes[:n].copy(), float(checksum.value)
 
 
 def read_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -144,3 +144,31 @@ def test_rounds_sampling_matches_whileloop(rng):
     m2, undec = fast_disc_sample_rounds(graph, r, rounds=24)
     assert not bool(undec)
     np.testing.assert_array_equal(np.asarray(m2), m1)
+
+
+def test_pruned_sampling_exact(rng):
+    """Radius-pruned conflict tables give the identical greedy mask when
+    the static cap holds, and flag overflow when it doesn't."""
+    from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
+                                              fast_disc_sample_rounds,
+                                              prune_overflow)
+    pts = torus_points(2000, seed=3)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    r = g.sampling_radius(graph)
+    m1 = np.asarray(fast_disc_sample_mask(graph, r))
+    in_radius = np.asarray(jnp.sum(graph.mask
+                                   & (graph.distances < r), axis=1))
+    cap = int(in_radius.max())
+    assert cap < graph.max_degree, "test needs a non-trivial prune"
+    assert not bool(prune_overflow(graph, r, cap))
+    m2 = np.asarray(fast_disc_sample_mask(graph, r, prune_cap=cap))
+    np.testing.assert_array_equal(m2, m1)
+    m3, undec = fast_disc_sample_rounds(graph, r, rounds=24,
+                                        prune_cap=cap)
+    assert not bool(undec)
+    np.testing.assert_array_equal(np.asarray(m3), m1)
+    # A cap one below the max in-radius degree must flag.
+    assert bool(prune_overflow(graph, r, cap - 1))
+    _, undec_bad = fast_disc_sample_rounds(graph, r, rounds=24,
+                                           prune_cap=cap - 1)
+    assert bool(undec_bad)
