@@ -42,59 +42,6 @@ def morton_order(points: np.ndarray, bits: int = 21) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
-def hilbert_order(points: np.ndarray, bits: int = 16) -> np.ndarray:
-    """Permutation sorting points along a 3-D Hilbert curve.
-
-    Hilbert beats Morton for SpMV banding: the curve has no teleports,
-    so graph neighbors land at small index offsets far more often (the
-    out-of-band tail that costs gather time shrinks several-fold).
-    Vectorized transpose-based encoding (Skilling's method): convert
-    per-axis coordinates to the Hilbert transpose form, then interleave
-    bits into the key.
-    """
-    p = np.asarray(points, np.float64)
-    lo = p.min(axis=0)
-    hi = p.max(axis=0)
-    scale = (2**bits - 1) / np.maximum(hi - lo, 1e-30)
-    x = ((p - lo) * scale).astype(np.uint64)   # (V, 3)
-    n = 3
-
-    # Skilling: axes -> transpose (in place, vectorized over rows).
-    m = np.uint64(1) << np.uint64(bits - 1)
-    # Inverse undo excess work.
-    q = m
-    while q > 1:
-        pmask = q - np.uint64(1)
-        for i in range(n):
-            flip = (x[:, i] & q) != 0
-            # flip low bits of x[0] where bit set, else exchange with x[i]
-            t = (x[:, 0] ^ x[:, i]) & pmask
-            swap = ~flip
-            x[flip, 0] ^= pmask
-            x[swap, 0] ^= t[swap]
-            x[swap, i] ^= t[swap]
-        q >>= np.uint64(1)
-    # Gray encode.
-    for i in range(1, n):
-        x[:, i] ^= x[:, i - 1]
-    t = np.zeros(x.shape[0], np.uint64)
-    q = m
-    while q > 1:
-        has = (x[:, n - 1] & q) != 0
-        t[has] ^= q - np.uint64(1)
-        q >>= np.uint64(1)
-    for i in range(n):
-        x[:, i] ^= t
-
-    # Interleave transpose bits into a single key (MSB-first across axes).
-    code = np.zeros(x.shape[0], np.uint64)
-    for b in range(bits - 1, -1, -1):
-        for i in range(n):
-            code = (code << np.uint64(1)) | ((x[:, i] >> np.uint64(b))
-                                             & np.uint64(1))
-    return np.argsort(code, kind="stable").astype(np.int32)
-
-
 def permute_graph(graph: Graph, perm: np.ndarray) -> Graph:
     """Renumber a graph: new vertex i = old vertex perm[i].
 
