@@ -51,12 +51,17 @@ import jax.numpy as jnp
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.geometry.meshes import torus_points
+from gravomg_tpu.geometry.order import morton_order
 from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
                                           check_diagnostics,
                                           compact_solver)
 
 def build_pipeline(n):
+    # Morton-order the cloud host-side: a pure relabeling that gives
+    # every level the spatial index locality the gather-free banded
+    # operators need (ops/banded.py).
     pts = torus_points(n, seed=1).astype(np.float32)
+    pts = pts[morton_order(pts)]
     cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
     graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
     lap, mass = g.graph_laplacian(graph, "invdist")
@@ -85,6 +90,10 @@ t_build = time.perf_counter() - t0
 assert not bool(short), "grid kNN shortfall"
 check_diagnostics(diags)
 sol = compact_solver(h.solver, diags)
+# Gather-free banded/windowed operator forms (the ELL gather costs
+# ~7ns per index on this runtime; the banded forms run at HBM
+# bandwidth).  Exact: same products, different add order.
+sol = g.attach_fast_operators(sol)
 b = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
 
 # All cycle measurements are SINGLE-launch programs (fori_loop inside
@@ -133,7 +142,7 @@ def run_pcg_iters(hs, b, iters):
     z0 = g.v_cycle(hs, jnp.zeros_like(r0), r0, cfg)
     def body(_, st):
         x, r, z, p, rz = st
-        ap = spmv(op, p)
+        ap = g.level_matvec(hs.levels[0], p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap

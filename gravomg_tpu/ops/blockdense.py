@@ -1,0 +1,192 @@
+"""Block-window dense SpMV: the gather-free sparse matvec.
+
+Cost model recap (scripts/profile_gather*.py, PROGRESS.md): on this TPU
+runtime an XLA gather costs ~7 ns per gathered index regardless of
+slice width, contiguous reads stream at HBM bandwidth, and any
+formulation that *builds* selection masks at runtime (one-hot compares)
+pays entries x window bytes of materialization.  The remaining winning
+move is to PRECOMPUTE the selection: store each row's sparse entries as
+a dense row over a small set of per-block column windows.
+
+For a row block b (BLK consecutive rows after spatial ordering):
+  * NW column windows of width WIN each; window 0 is anchored on the
+    block itself (the diagonal band), the rest greedily cover the
+    block's remaining (fold) columns;
+  * M[b] is a dense (BLK, NW*WIN) matrix holding A's off-diagonal
+    entries at their window-local positions (zeros elsewhere), built
+    ONCE at conversion;
+  * uncovered stragglers go to an exact sorted-COO escape chute.
+
+The matvec is then
+  y = diag * x + einsum(M[b], gathered windows) + escape,
+one (NBLK*NW)-index slice-gather plus a dense batched GEMV that streams
+M at memory bandwidth -- no runtime index resolution at all.
+
+Also used rectangularly (prolongation U, restriction U^T): pass the
+source length explicitly; window 0 anchors at the scaled diagonal
+(row * n_cols / n_rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import EllOperator, INVALID_INDEX
+
+
+class BlockDenseOperator(NamedTuple):
+    """y = diag*x + blockdense(M, x) + escape (see module doc).
+
+    Arrays:
+      diag:      (R,) or None (rectangular operators have no diagonal).
+      m:         (NBLK, BLK, NW*WIN) dense window-local entries.
+      win_start: (NBLK, NW) int32 window starts into the source vector.
+      esc_rows/esc_cols/esc_w: sorted-COO escape chute.
+    Static aux: n_rows, n_cols, block, window.
+    """
+
+    diag: Optional[jax.Array]
+    m: jax.Array
+    win_start: jax.Array
+    esc_rows: jax.Array
+    esc_cols: jax.Array
+    esc_w: jax.Array
+    n_rows: int
+    n_cols: int
+    block: int
+    window: int
+
+    @property
+    def nw(self) -> int:
+        return self.win_start.shape[1]
+
+
+jax.tree_util.register_pytree_node(
+    BlockDenseOperator,
+    lambda op: (tuple(op[:6]),
+                (op.n_rows, op.n_cols, op.block, op.window)),
+    lambda aux, ch: BlockDenseOperator(*ch, *aux),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "block", "window",
+                                             "nw", "escape_cap"))
+def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
+                        valid: jax.Array, n_cols: int,
+                        diag: Optional[jax.Array] = None,
+                        block: int = 64, window: int = 256, nw: int = 4,
+                        escape_cap: int = 8192
+                        ) -> Tuple[BlockDenseOperator, jax.Array]:
+    """Build a BlockDenseOperator from (R, K) ELL columns/values/mask.
+
+    Window 0 anchors at the block's scaled diagonal; windows 1..NW-1
+    greedily cover the remaining columns.  Returns (op, overflow) --
+    overflow means the escape chute is too small (retry with larger
+    nw / escape_cap).  One jittable pass; the dense M is built by a
+    single scatter-add.
+    """
+    r, k = cols.shape
+    valid = valid & (vals != 0.0)
+    nblk = -(-r // block)
+    rpad = nblk * block
+    imax = jnp.iinfo(jnp.int32).max
+
+    safe_cols = jnp.where(valid, cols, imax)
+    cols_p = jnp.pad(safe_cols, ((0, rpad - r), (0, 0)),
+                     constant_values=imax)
+    bc = cols_p.reshape(nblk, block * k)
+
+    # Window 0: scaled diagonal anchor, clamped.
+    ratio = n_cols / r
+    anchor = (jnp.arange(nblk) * block * ratio).astype(jnp.int32) \
+        - (window - int(block * ratio)) // 2
+    w0 = jnp.clip(anchor, 0, max(n_cols - window, 0))
+    starts = [w0]
+    remaining = jnp.where((bc >= w0[:, None])
+                          & (bc < w0[:, None] + window), imax, bc)
+    for _ in range(nw - 1):
+        s = jnp.min(remaining, axis=1)
+        starts.append(s)
+        remaining = jnp.where(remaining < s[:, None] + window, imax,
+                              remaining)
+    win_start = jnp.stack(starts, axis=1)
+    win_start = jnp.where(win_start > n_cols - 1, 0,
+                          jnp.minimum(win_start,
+                                      jnp.maximum(n_cols - window, 0)))
+    win_start = jnp.maximum(win_start, 0).astype(jnp.int32)
+
+    rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None],
+                            (r, k))
+    ws = win_start[rows // block]                       # (R, K, NW)
+    c_s = jnp.where(valid, cols, 0)
+    hit = (c_s[..., None] >= ws) & (c_s[..., None] < ws + window) & \
+        valid[..., None]
+    sel = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    covered = jnp.any(hit, axis=-1)
+    lidx = c_s - jnp.take_along_axis(ws, sel[..., None], axis=-1)[..., 0]
+    pos = sel * window + jnp.clip(lidx, 0, window - 1)  # (R, K)
+
+    # Dense M by one scatter-add into (rpad * NW * WIN + 1,).
+    nww = nw * window
+    flat = jnp.where(covered,
+                     rows * nww + pos,
+                     rpad * nww).reshape(-1)
+    m = jnp.zeros((rpad * nww + 1,), vals.dtype)
+    m = m.at[flat].add(jnp.where(covered, vals, 0.0).reshape(-1))
+    m = m[:-1].reshape(nblk, block, nww)
+
+    # Escape chute.
+    esc = valid & ~covered
+    n_esc = jnp.sum(esc)
+    overflow = n_esc > escape_cap
+    flat_rows = jnp.where(esc, rows, r).reshape(-1)
+    order = jnp.argsort(flat_rows)[:escape_cap]
+    esc_rows = flat_rows[order].astype(jnp.int32)
+    esc_cols = jnp.where(esc, c_s, 0).reshape(-1)[order].astype(jnp.int32)
+    esc_w = jnp.where(esc, vals, 0.0).reshape(-1)[order]
+
+    return (BlockDenseOperator(diag=diag, m=m, win_start=win_start,
+                               esc_rows=esc_rows, esc_cols=esc_cols,
+                               esc_w=esc_w, n_rows=r, n_cols=n_cols,
+                               block=block, window=window),
+            overflow)
+
+
+def blockdense_matvec(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
+    """y = A x; x has length n_cols, result n_rows."""
+    r = op.n_rows
+    nblk, nw = op.win_start.shape
+    win = op.window
+
+    xw = jnp.pad(x, (0, win))
+    idx = op.win_start.reshape(-1)
+    wins = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win,)))(idx)
+    wins = wins.reshape(nblk, 1, nw * win).astype(op.m.dtype)
+
+    # Broadcast-multiply + lane reduce: measured ~3x faster than the
+    # equivalent batched dot_general at block=256 (the GEMV RHS is a
+    # vector, so the MXU path pads and stalls; the VPU streams M at
+    # memory bandwidth).
+    acc_dt = jnp.promote_types(op.m.dtype, jnp.float32)
+    y = jnp.sum(op.m * wins, axis=2, dtype=acc_dt)      # (NBLK, BLK)
+    y = y.reshape(-1)[:r].astype(x.dtype)
+
+    if op.esc_w.shape[0]:
+        contrib = op.esc_w * x[jnp.minimum(op.esc_cols, op.n_cols - 1)]
+        y = y + jax.ops.segment_sum(
+            contrib.astype(x.dtype), jnp.minimum(op.esc_rows, r),
+            num_segments=r + 1, indices_are_sorted=True)[:r]
+    if op.diag is not None:
+        y = y + op.diag * x
+    return y
+
+
+def blockdense_from_operator(op: EllOperator, **kw
+                             ) -> Tuple[BlockDenseOperator, jax.Array]:
+    """Square-operator convenience wrapper (keeps the diagonal exact)."""
+    return blockdense_from_ell(op.neighbors, op.offdiag, op.mask,
+                               op.num_vertices, diag=op.diag, **kw)

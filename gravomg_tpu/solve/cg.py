@@ -17,13 +17,18 @@ from gravomg_tpu.solve.vcycle import SolverHierarchy, v_cycle
 def pcg(op: EllOperator, b: jax.Array,
         precond: Callable[[jax.Array], jax.Array],
         tol: float = 1e-8, max_iters: int = 500,
-        x0: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array,
-                                                 jax.Array]:
-    """Preconditioned CG.  Returns (x, relative_residual, iterations)."""
+        x0: Optional[jax.Array] = None,
+        mv: Optional[Callable[[jax.Array], jax.Array]] = None
+        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Preconditioned CG.  Returns (x, relative_residual, iterations).
+
+    ``mv`` overrides the operator matvec (banded gather-free form)."""
+    if mv is None:
+        mv = lambda y: spmv(op, y)  # noqa: E731
     if x0 is None:
         x0 = jnp.zeros_like(b)
     bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
-    r0 = b - spmv(op, x0)
+    r0 = b - mv(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
@@ -34,7 +39,7 @@ def pcg(op: EllOperator, b: jax.Array,
 
     def body(state):
         x, r, z, p, rz, it, _ = state
-        ap = spmv(op, p)
+        ap = mv(p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-300)
         x = x + alpha * p
         r = r - alpha * ap
@@ -60,10 +65,14 @@ def mg_pcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     """CG on the finest operator, preconditioned by one V-cycle.
 
     Jitted with the hierarchy as an argument and the config static."""
+    import functools as _ft
+
+    from gravomg_tpu.solve.vcycle import level_matvec
     op = h.levels[0].op
 
     def precond(r):
         return v_cycle(h, jnp.zeros_like(r), r, cfg)
 
     return pcg(op, b, precond, tol=cfg.tolerance,
-               max_iters=cfg.max_cycles, x0=x0)
+               max_iters=cfg.max_cycles, x0=x0,
+               mv=_ft.partial(level_matvec, h.levels[0]))

@@ -17,14 +17,21 @@ from gravomg_tpu.solve.spmv import spmv
 
 
 def weighted_jacobi(op: EllOperator, x: jax.Array, b: jax.Array,
-                    iterations: int, omega: float = 2.0 / 3.0) -> jax.Array:
-    """x <- x + omega D^{-1} (b - A x), ``iterations`` times."""
+                    iterations: int, omega: float = 2.0 / 3.0,
+                    mv=None) -> jax.Array:
+    """x <- x + omega D^{-1} (b - A x), ``iterations`` times.
+
+    ``mv`` overrides the matvec (e.g. the banded gather-free SpMV);
+    defaults to the ELL gather form.
+    """
+    if mv is None:
+        mv = lambda y: spmv(op, y)  # noqa: E731
     dinv = 1.0 / op.diag
     if x.ndim > 1:
         dinv = dinv[:, None]
 
     def body(_, x):
-        return x + omega * dinv * (b - spmv(op, x))
+        return x + omega * dinv * (b - mv(x))
 
     return jax.lax.fori_loop(0, iterations, body, x)
 
@@ -61,12 +68,15 @@ class ChebyshevParams(NamedTuple):
 
 
 def chebyshev(op: EllOperator, x: jax.Array, b: jax.Array,
-              params: ChebyshevParams, degree: int) -> jax.Array:
+              params: ChebyshevParams, degree: int, mv=None) -> jax.Array:
     """Chebyshev polynomial smoother of given degree on D^{-1} A.
 
     Standard three-term recurrence over the interval
     [lam_min, lam_max]; equivalent to `degree` matrix applications.
+    ``mv`` overrides the matvec (banded gather-free form).
     """
+    if mv is None:
+        mv = lambda y: spmv(op, y)  # noqa: E731
     dinv = 1.0 / op.diag
     if x.ndim > 1:
         dinv = dinv[:, None]
@@ -75,13 +85,13 @@ def chebyshev(op: EllOperator, x: jax.Array, b: jax.Array,
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    r = dinv * (b - spmv(op, x))
+    r = dinv * (b - mv(x))
     d = r / theta
     x = x + d
 
     def body(_, carry):
         x, d, rho = carry
-        r = dinv * (b - spmv(op, x))
+        r = dinv * (b - mv(x))
         rho_next = 1.0 / (2.0 * sigma - rho)
         d = rho_next * rho * d + (2.0 * rho_next / delta) * r
         return x + d, d, rho_next
