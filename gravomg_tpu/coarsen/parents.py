@@ -82,3 +82,83 @@ def assign_parents(graph: Graph, coarse_samples: jax.Array,
     dist, par, _, _ = jax.lax.while_loop(
         cond, sweep, (dist0, par0, jnp.bool_(True), jnp.int32(0)))
     return par, dist
+
+
+def _seed_init(graph: Graph, coarse_samples: jax.Array):
+    from gravomg_tpu.types import INVALID_INDEX
+
+    v = graph.num_vertices
+    valid_s = coarse_samples != INVALID_INDEX
+    scatter_idx = jnp.where(valid_s, coarse_samples, v)
+    dist0 = jnp.full((v + 1,), jnp.inf, graph.distances.dtype)
+    dist0 = dist0.at[scatter_idx].set(
+        jnp.where(valid_s, 0.0, jnp.inf))[:v]
+    par0 = jnp.zeros((v + 1,), jnp.int32)
+    par0 = par0.at[scatter_idx].set(
+        jnp.arange(coarse_samples.shape[0], dtype=jnp.int32))[:v]
+    return dist0, par0
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps", "block",
+                                             "window", "nw",
+                                             "escape_cap"))
+def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
+                      max_sweeps: int = 10_000, block: int = 256,
+                      window: int = 512, nw: int = 2,
+                      escape_cap: int | None = None
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-free parent assignment: min-plus block-dense relaxation
+    sweeps to the shortest-path fixpoint, then one predecessor argmin
+    and logarithmic pointer jumping to recover the seed labels.
+
+    Identical distances to :func:`assign_parents` (min is order-free);
+    identical parents for generic (tie-free) clouds.  Returns
+    (parents, distances, overflow) -- overflow means the block-dense
+    caps were too small and the result is invalid.
+    """
+    v = graph.num_vertices
+    from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
+                                            blockdense_minplus)
+
+    dmat = jnp.where(graph.mask, graph.distances, jnp.inf)
+    bd, ovf = blockdense_from_ell(
+        graph.safe_neighbors(), dmat, graph.mask, v, combine="min",
+        block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
+        escape_cap=escape_cap or max(4096, v // 4))
+
+    dist0, par0 = _seed_init(graph, coarse_samples)
+
+    def sweep(state):
+        dist, changed, it = state
+        new = jnp.minimum(dist, blockdense_minplus(bd, dist))
+        return new, jnp.any(new < dist), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_sweeps)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, sweep, (dist0, jnp.bool_(True), jnp.int32(0)))
+
+    # Predecessor of each vertex on its shortest path (first-min slot on
+    # exact ties, as in the sweep formulation); seeds point to
+    # themselves.
+    nbr = graph.safe_neighbors()
+    d = jnp.where(graph.mask, graph.distances, jnp.inf)
+    cand = dist[nbr] + d
+    best_k = jnp.argmin(cand, axis=1)
+    pred = jnp.take_along_axis(nbr, best_k[:, None], axis=1)[:, 0]
+    is_seed = dist == 0.0
+    me = jnp.arange(v, dtype=jnp.int32)
+    unreached = jnp.isinf(dist)
+    pred = jnp.where(is_seed | unreached, me, pred)
+
+    # Pointer jumping: pi <- pi[pi] until every chain hits its seed.
+    hops = max(1, int(v).bit_length())
+
+    def jump(_, pi):
+        return pi[pi]
+
+    pi = jax.lax.fori_loop(0, hops, jump, pred)
+    parents = jnp.where(unreached, 0, par0[pi])
+    return parents, dist, ovf

@@ -209,6 +209,198 @@ def fast_disc_sample_rounds(graph: Graph, radius, rounds: int = 24,
     return status == _SELECTED, undec | p_ovf
 
 
+@functools.partial(jax.jit, static_argnames=("k_prune", "kc_cap",
+                                             "chunk", "lower_only"))
+def conflict_ell(graph: Graph, radius: jax.Array, k_prune: int,
+                 kc_cap: int, chunk: int = 8192,
+                 lower_only: bool = True):
+    """Lower-index conflict lists of the disc-sampling relation.
+
+    Row i holds the deduplicated j < i with  (edge(i,j) and d < radius)
+    or (2-hop path i-n-j with d(i,n) + d(n,j) < radius) -- exactly the
+    dependency the greedy scan's rejection uses (`src/sampling.cpp:
+    31-46`).  Built once per level; the lex-first-MIS rounds then
+    reduce over this fixed structure instead of re-gathering the
+    (V, Kr, Kr) two-hop tensor every round.
+
+    Returns (cols (V, kc_cap) int32 ascending with INVALID_INDEX pad,
+    mask, overflow) -- overflow means kc_cap or k_prune too small.
+    """
+    from gravomg_tpu.types import INVALID_INDEX
+
+    nbr, m, d, p_ovf = _prune_for_radius(graph, radius, k_prune)
+    v, kr = nbr.shape
+    vpad = ((v + chunk - 1) // chunk) * chunk
+    pad = vpad - v
+    nbr_p = jnp.pad(nbr, ((0, pad), (0, 0)))
+    m_p = jnp.pad(m, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    idx_p = jnp.arange(vpad, dtype=jnp.int32)
+    imax = jnp.iinfo(jnp.int32).max
+
+    def per_chunk(c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk, chunk)
+        cn, cm, cd, cidx = sl(nbr_p), sl(m_p), sl(d_p), sl(idx_p)
+        low1 = cm
+        nn = jnp.where(cm[:, :, None], nbr[cn], 0)
+        nn_mask = cm[:, :, None] & m[cn]
+        d2 = cd[:, :, None] + jnp.where(nn_mask, d[cn], jnp.inf)
+        low2 = nn_mask & (d2 < radius)
+        if lower_only:
+            low1 = low1 & (cn < cidx[:, None])
+            low2 = low2 & (nn < cidx[:, None, None])
+        else:
+            # Symmetric variant: exclude self (2-hop paths i-n-i).
+            low2 = low2 & (nn != cidx[:, None, None])
+        cols = jnp.concatenate(
+            [jnp.where(low1, cn, imax),
+             jnp.where(low2, nn, imax).reshape(chunk, kr * kr)], axis=1)
+        # Per-row dedup + compaction: ascending sort, drop repeats,
+        # stable-compact the keepers to a prefix.
+        cols = jnp.sort(cols, axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((chunk, 1), -1, cols.dtype), cols[:, :-1]], axis=1)
+        keep = (cols != imax) & (cols != prev)
+        order = jnp.argsort(~keep, axis=1, stable=True)
+        cols_c = jnp.take_along_axis(cols, order, axis=1)[:, :kc_cap]
+        keep_c = jnp.take_along_axis(keep, order, axis=1)[:, :kc_cap]
+        ovf = jnp.any(jnp.sum(keep, axis=1) > kc_cap)
+        return jnp.where(keep_c, cols_c, INVALID_INDEX), keep_c, ovf
+
+    cols, mask, ovfs = jax.lax.map(per_chunk,
+                                   jnp.arange(vpad // chunk))
+    return (cols.reshape(vpad, kc_cap)[:v],
+            mask.reshape(vpad, kc_cap)[:v],
+            jnp.any(ovfs) | p_ovf)
+
+
+def fast_disc_sample_bd(graph: Graph, radius, k_prune: int | None = None,
+                        kc_cap: int = 96, max_rounds: int = 256,
+                        block: int = 256, window: int = 512,
+                        nw: int = 2, escape_cap: int | None = None):
+    """Greedy disc sampling via the conflict operator: each lex-first-
+    MIS round is two gather-free block-dense matvecs over indicator
+    vectors instead of a (V, Kr, Kr) re-gather (~7 ns per gathered
+    index on this runtime).  Bit-identical fixpoint.
+
+    Returns (mask, invalid) where ``invalid`` is a deferred device-side
+    bool: caps were too small and the result must not be used.
+    """
+    from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
+                                            blockdense_matvec)
+
+    v = graph.num_vertices
+    if k_prune is None:
+        k_prune = graph.max_degree
+    cols, mask, c_ovf = conflict_ell(graph, radius,
+                                     min(k_prune, graph.max_degree),
+                                     kc_cap)
+    ones = jnp.ones(cols.shape, jnp.float32)
+    cbd, b_ovf = blockdense_from_ell(
+        cols, ones, mask, v, block=min(block, max(v // 8, 8)),
+        window=min(window, v), nw=nw,
+        escape_cap=escape_cap or max(4096, v // 4))
+
+    def round_body(state):
+        status, _, it = state
+        a = (status == _SELECTED).astype(jnp.float32)
+        b = (status == _UNDECIDED).astype(jnp.float32)
+        # An UNDECIDED vertex's selected conflicts are necessarily
+        # lower-indexed (a selected vertex requires every lower
+        # conflict decided), so the lower-triangular operator serves
+        # both reductions.
+        sel_l = blockdense_matvec(cbd, a) > 0.5
+        und_l = blockdense_matvec(cbd, b) > 0.5
+        und = status == _UNDECIDED
+        new = jnp.where(und & sel_l, _REJECTED,
+                        jnp.where(und & ~und_l, _SELECTED,
+                                  status)).astype(jnp.int8)
+        return new, status, it + 1
+
+    def cond(state):
+        status, prev, it = state
+        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
+                & (it < max_rounds))
+
+    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
+            jnp.int32(0))
+    status, _, it = jax.lax.while_loop(cond, round_body, init)
+    invalid = c_ovf | b_ovf | jnp.any(status == _UNDECIDED)
+    return status == _SELECTED, invalid
+
+
+def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
+                              k_prune: int | None = None,
+                              kc_cap: int = 192, max_rounds: int = 128,
+                              block: int = 256, window: int = 512,
+                              nw: int = 3, escape_cap: int | None = None):
+    """Random-priority maximal-independent-set disc sampling (fast mode).
+
+    The reference's greedy is the lexicographically-first MIS of the
+    conflict graph (module docstring); under a *spatial* vertex order
+    its dependency chains run along the curve, so the exact parallel
+    fixpoint needs O(chain length) rounds -- hundreds at bench scale.
+    This variant runs the same fixpoint under an i.i.d. random priority
+    (Luby-style), converging in O(log V) rounds with probability 1,
+    and returns a *different but equally valid* maximal independent set
+    of the identical conflict relation (same minimum-distance and
+    coverage guarantees; SURVEY.md CS-4 blesses the parallel variant
+    for the fast path, the exact mode remains for compat).
+
+    Deterministic given ``seed``.  Returns (mask, invalid).
+    """
+    from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
+                                            blockdense_matvec,
+                                            blockdense_minplus)
+
+    v = graph.num_vertices
+    if k_prune is None:
+        k_prune = graph.max_degree
+    cols, mask, c_ovf = conflict_ell(graph, radius,
+                                     min(k_prune, graph.max_degree),
+                                     kc_cap, lower_only=False)
+    ones = jnp.ones(cols.shape, jnp.float32)
+    cap = escape_cap or max(4096, v // 4)
+    cbd, b_ovf = blockdense_from_ell(
+        cols, ones, mask, v, block=min(block, max(v // 8, 8)),
+        window=min(window, v), nw=nw, escape_cap=cap)
+    zeros = jnp.zeros(cols.shape, jnp.float32)
+    cbd_min, m_ovf = blockdense_from_ell(
+        cols, zeros, mask, v, combine="min",
+        block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
+        escape_cap=cap)
+
+    pr = jax.random.permutation(jax.random.PRNGKey(seed), v
+                                ).astype(jnp.float32)
+
+    def round_body(state):
+        status, _, it = state
+        a = (status == _SELECTED).astype(jnp.float32)
+        # Rejection: any conflicting selected vertex (priority-free).
+        sel_any = blockdense_matvec(cbd, a) > 0.5
+        # Wait condition: a higher-priority (smaller pr) undecided
+        # conflict exists -- a min-reduce of undecided priorities over
+        # the conflict rows.
+        gpr = jnp.where(status == _UNDECIDED, pr, jnp.inf)
+        min_und = blockdense_minplus(cbd_min, gpr)
+        und = status == _UNDECIDED
+        new = jnp.where(und & sel_any, _REJECTED,
+                        jnp.where(und & ~(min_und < pr), _SELECTED,
+                                  status)).astype(jnp.int8)
+        return new, status, it + 1
+
+    def cond(state):
+        status, prev, it = state
+        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
+                & (it < max_rounds))
+
+    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
+            jnp.int32(0))
+    status, _, it = jax.lax.while_loop(cond, round_body, init)
+    invalid = c_ovf | b_ovf | m_ovf | jnp.any(status == _UNDECIDED)
+    return status == _SELECTED, invalid
+
+
 def fast_disc_sample(graph: Graph, radius, max_samples: int | None = None):
     """Host-facing wrapper: returns ascending selected indices (NumPy).
 

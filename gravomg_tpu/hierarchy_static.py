@@ -30,11 +30,13 @@ import numpy as np
 from gravomg_tpu.config import MultigridConfig
 from gravomg_tpu.types import (EllOperator, Graph, Prolongation,
                                INVALID_INDEX)
-from gravomg_tpu.coarsen.sampling import (fast_disc_sample_mask,
+from gravomg_tpu.coarsen.sampling import (fast_disc_sample_bd,
+                                          fast_disc_sample_mask,
+                                          fast_disc_sample_priority,
                                           fast_disc_sample_rounds,
                                           prune_overflow,
                                           sampling_radius)
-from gravomg_tpu.coarsen.parents import assign_parents
+from gravomg_tpu.coarsen.parents import assign_parents, assign_parents_bd
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
 from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
 from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
@@ -58,6 +60,7 @@ class LevelDiagnostics(NamedTuple):
     point_fallbacks: jax.Array  # () int32
     sampling_undecided: jax.Array = np.bool_(False)  # rounds cap too small
     rt_overflow: jax.Array = np.bool_(False)  # U^T children cap too small
+    bd_overflow: jax.Array = np.bool_(False)  # gather-free build caps
 
 
 def plan_levels(v: int, cfg: MultigridConfig,
@@ -83,6 +86,8 @@ def build_hierarchy_device(
         kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
         rap_cap: int = 96, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
+        gather_free: bool = True, exact_sampling: bool = False,
+        sampling_seed: int = 0,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -102,23 +107,37 @@ def build_hierarchy_device(
 
     for cap in level_caps:
         radius = sampling_radius(g, cfg.reduction_ratio)
-        # Radius-pruned conflict tables cut the dominant (chunk, Kr, Kr)
-        # sampling cost quadratically; the cap-validity flag joins the
-        # deferred diagnostics (no sync).
-        p_cap = (min(sample_prune_cap, g.max_degree)
-                 if sample_prune_cap is not None else None)
-        p_ovf = (prune_overflow(g, radius, p_cap)
-                 if p_cap is not None else jnp.bool_(False))
-        if sampling_rounds is not None:
-            # Fixed short per-round launches: runtimes with device-side
-            # watchdogs kill the fused while_loop's single long launch
-            # at large V (PROGRESS.md).
-            mask, s_undec = fast_disc_sample_rounds(
-                g, radius, rounds=sampling_rounds, prune_cap=p_cap)
+        bd_ovf = jnp.bool_(False)
+        if gather_free:
+            # Conflict-operator sampling: rounds are block-dense
+            # indicator matvecs, not per-round (V, Kr, Kr) re-gathers.
+            # Requires a spatially ordered cloud; overflow joins the
+            # deferred diagnostics (no sync).  Default is the random-
+            # priority MIS (O(log V) rounds; a spatial order makes the
+            # exact index-order fixpoint's chains run along the curve);
+            # exact_sampling keeps the reference-greedy output.
+            if exact_sampling:
+                mask, s_undec = fast_disc_sample_bd(g, radius)
+            else:
+                mask, s_undec = fast_disc_sample_priority(
+                    g, radius, seed=sampling_seed)
         else:
-            mask = fast_disc_sample_mask(g, radius, prune_cap=p_cap)
-            s_undec = jnp.bool_(False)
-        s_undec = s_undec | p_ovf
+            # Radius-pruned conflict tables cut the dominant
+            # (chunk, Kr, Kr) sampling cost quadratically.
+            p_cap = (min(sample_prune_cap, g.max_degree)
+                     if sample_prune_cap is not None else None)
+            p_ovf = (prune_overflow(g, radius, p_cap)
+                     if p_cap is not None else jnp.bool_(False))
+            if sampling_rounds is not None:
+                # Fixed short per-round launches: runtimes with
+                # device-side watchdogs kill the fused while_loop's
+                # single long launch at large V (PROGRESS.md).
+                mask, s_undec = fast_disc_sample_rounds(
+                    g, radius, rounds=sampling_rounds, prune_cap=p_cap)
+            else:
+                mask = fast_disc_sample_mask(g, radius, prune_cap=p_cap)
+                s_undec = jnp.bool_(False)
+            s_undec = s_undec | p_ovf
         mask = mask & fine_valid
         n_real = jnp.sum(mask).astype(jnp.int32)
         raw = jnp.nonzero(mask, size=cap, fill_value=g.num_vertices)[0]
@@ -126,7 +145,11 @@ def build_hierarchy_device(
                             INVALID_INDEX).astype(jnp.int32)
         cap_overflow = n_real > cap
 
-        parents, _ = assign_parents(g, samples)
+        if gather_free:
+            parents, _, p_ovf2 = assign_parents_bd(g, samples)
+            bd_ovf = bd_ovf | p_ovf2
+        else:
+            parents, _ = assign_parents(g, samples)
         columns, e_ovf = extract_coarse_edges(
             g, parents, cap, min(kc_cap, cap - 1), fine_valid=fine_valid)
         coarse_points = coarse_from_mean_of_fine_children(
@@ -157,7 +180,8 @@ def build_hierarchy_device(
         diags.append(LevelDiagnostics(
             n_real=n_real, cap_overflow=cap_overflow, edge_overflow=e_ovf,
             tri_overflow=t_ovf, rap_overflow=r_ovf,
-            point_fallbacks=counts[2], sampling_undecided=s_undec))
+            point_fallbacks=counts[2], sampling_undecided=s_undec,
+            bd_overflow=bd_ovf))
         graphs.append(cg)
         ops.append(coarse_op)
         fine_valid = samples != INVALID_INDEX
@@ -276,6 +300,9 @@ def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
             problems.append("sampling_rounds too small (undecided left)")
         if bool(d.rt_overflow):
             problems.append("U^T children cap overflow")
+        if bool(d.bd_overflow):
+            problems.append("gather-free build caps overflow "
+                            "(conflict/min-plus block-dense)")
         if problems:
             raise RuntimeError(
                 f"device-resident build level {i}: " + "; ".join(problems)

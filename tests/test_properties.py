@@ -93,12 +93,17 @@ import jax  # noqa: E402  (used in serialization test)
 def test_device_resident_build_matches_staged(rng):
     from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
                                               check_diagnostics)
+    from gravomg_tpu.geometry.order import morton_order
     pts = torus_points(1500, seed=6)
+    pts = pts[morton_order(pts)]
     graph = g.knn_graph(jnp.asarray(pts), k=8)
     lap, mass = g.graph_laplacian(graph, "invdist")
     spd = lap._replace(diag=lap.diag + 0.5 * mass)
     cfg = g.MultigridConfig(coarse_threshold=60)
-    h1, diags = build_hierarchy_device(graph, spd, cfg)
+    # exact_sampling: this test checks bit-equivalence with the staged
+    # (reference-greedy) builder.
+    h1, diags = build_hierarchy_device(graph, spd, cfg,
+                                       exact_sampling=True)
     check_diagnostics(diags)
     h2 = g.build_hierarchy(graph, spd, cfg)
     b = jnp.asarray(rng.normal(size=1500))
@@ -115,7 +120,9 @@ def test_compact_solver_preserves_solution(rng):
     from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
                                               check_diagnostics,
                                               compact_solver)
+    from gravomg_tpu.geometry.order import morton_order
     pts = torus_points(1500, seed=6)
+    pts = pts[morton_order(pts)]
     graph = g.knn_graph(jnp.asarray(pts), k=8)
     lap, mass = g.graph_laplacian(graph, "invdist")
     spd = lap._replace(diag=lap.diag + 0.5 * mass)
@@ -146,6 +153,35 @@ def test_rounds_sampling_matches_whileloop(rng):
     np.testing.assert_array_equal(np.asarray(m2), m1)
 
 
+def test_blockdense_sampling_exact(rng):
+    """Conflict-operator (gather-free) sampling equals the reference
+    greedy fixpoint bit-for-bit; parents from min-plus sweeps + pointer
+    jumping equal the Bellman-Ford sweeps on a generic cloud."""
+    from gravomg_tpu.coarsen.sampling import (fast_disc_sample_bd,
+                                              fast_disc_sample_mask)
+    from gravomg_tpu.coarsen.parents import (assign_parents,
+                                             assign_parents_bd)
+    from gravomg_tpu.geometry.order import morton_order
+    pts = torus_points(3000, seed=4)
+    pts = pts[morton_order(pts)]     # bd paths assume spatial ordering
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    r = g.sampling_radius(graph)
+    m_ref = np.asarray(fast_disc_sample_mask(graph, r))
+    m_bd, invalid = fast_disc_sample_bd(graph, r)
+    assert not bool(invalid)
+    np.testing.assert_array_equal(np.asarray(m_bd), m_ref)
+
+    samples = jnp.asarray(np.nonzero(m_ref)[0].astype(np.int32))
+    par_ref, dist_ref = assign_parents(graph, samples)
+    par_bd, dist_bd, ovf = assign_parents_bd(graph, samples,
+                                             escape_cap=3000 * 8)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(dist_bd), np.asarray(dist_ref),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(par_bd),
+                                  np.asarray(par_ref))
+
+
 def test_pruned_sampling_exact(rng):
     """Radius-pruned conflict tables give the identical greedy mask when
     the static cap holds, and flag overflow when it doesn't."""
@@ -172,3 +208,34 @@ def test_pruned_sampling_exact(rng):
     _, undec_bad = fast_disc_sample_rounds(graph, r, rounds=24,
                                            prune_cap=cap - 1)
     assert bool(undec_bad)
+
+
+def test_priority_sampling_is_valid_mis(rng):
+    """Random-priority disc sampling returns a maximal independent set
+    of the exact conflict relation: no two selected vertices conflict,
+    and every rejected vertex has a selected conflict."""
+    from gravomg_tpu.coarsen.sampling import (conflict_ell,
+                                              fast_disc_sample_priority)
+    from gravomg_tpu.geometry.order import morton_order
+    pts = torus_points(3000, seed=8)
+    pts = pts[morton_order(pts)]
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    r = g.sampling_radius(graph)
+    m, invalid = fast_disc_sample_priority(graph, r, seed=3)
+    assert not bool(invalid)
+    m = np.asarray(m)
+    assert 0 < m.sum() < 3000
+    cols, cmask, ovf = conflict_ell(graph, r, graph.max_degree, 192,
+                                    lower_only=False)
+    assert not bool(ovf)
+    cols = np.asarray(cols)
+    cmask = np.asarray(cmask)
+    for i in range(3000):
+        conf = cols[i][cmask[i]]
+        if m[i]:
+            assert not m[conf].any(), i       # independent
+        else:
+            assert m[conf].any(), i           # maximal
+    # determinism
+    m2, _ = fast_disc_sample_priority(graph, r, seed=3)
+    np.testing.assert_array_equal(np.asarray(m2), m)
