@@ -123,14 +123,21 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
 
     rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None],
                             (r, k))
-    ws = win_start[rows // block]                       # (R, K, NW)
     c_s = jnp.where(valid, cols, 0)
-    hit = (c_s[..., None] >= ws) & (c_s[..., None] < ws + window) & \
-        valid[..., None]
-    sel = jnp.argmax(hit, axis=-1).astype(jnp.int32)
-    covered = jnp.any(hit, axis=-1)
-    lidx = c_s - jnp.take_along_axis(ws, sel[..., None], axis=-1)[..., 0]
-    pos = sel * window + jnp.clip(lidx, 0, window - 1)  # (R, K)
+    # First-hit window assignment, looped over the (small) window count
+    # with 2-D temps only: an (R, K, NW) tensor has a tiny minor dim
+    # that TPU tile padding inflates ~40x (OOM at bench scale).
+    row_blk = jnp.arange(r, dtype=jnp.int32) // block   # (R,)
+    sel = jnp.full((r, k), -1, jnp.int32)
+    lidx = jnp.zeros((r, k), jnp.int32)
+    for wi in range(nw):
+        ws_w = win_start[:, wi][row_blk][:, None]       # (R, 1)
+        hit = valid & (sel < 0) & (c_s >= ws_w) & (c_s < ws_w + window)
+        sel = jnp.where(hit, wi, sel)
+        lidx = jnp.where(hit, c_s - ws_w, lidx)
+    covered = sel >= 0
+    pos = jnp.maximum(sel, 0) * window \
+        + jnp.clip(lidx, 0, window - 1)                 # (R, K)
 
     # Dense M by one scatter into (rpad * NW * WIN + 1,).  combine="min"
     # builds a min-plus operator: empty slots hold +inf so the tropical
