@@ -124,7 +124,7 @@ def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
     bd, ovf = blockdense_from_ell(
         graph.safe_neighbors(), dmat, graph.mask, v, combine="min",
         block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
-        escape_cap=escape_cap or max(4096, v // 4))
+        escape_cap=escape_cap or max(4096, v))
 
     dist0, par0 = _seed_init(graph, coarse_samples)
 

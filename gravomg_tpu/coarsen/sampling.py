@@ -360,7 +360,11 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
                                      min(k_prune, graph.max_degree),
                                      kc_cap, lower_only=False)
     ones = jnp.ones(cols.shape, jnp.float32)
-    cap = escape_cap or max(4096, v // 4)
+    # The 2-hop conflict columns have a heavier locality tail than the
+    # graph itself (~0.8 V uncovered entries measured at 100k with
+    # window 512); a full-V escape chute costs ~7 ns * V per round --
+    # cheap next to an invalid build.
+    cap = escape_cap or max(4096, v)
     cbd, b_ovf = blockdense_from_ell(
         cols, ones, mask, v, block=min(block, max(v // 8, 8)),
         window=min(window, v), nw=nw, escape_cap=cap)
