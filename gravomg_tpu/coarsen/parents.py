@@ -104,7 +104,7 @@ def _seed_init(graph: Graph, coarse_samples: jax.Array):
                                              "escape_cap"))
 def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
                       max_sweeps: int = 10_000, block: int = 256,
-                      window: int = 512, nw: int = 2,
+                      window: int = 512, nw: int = 4,
                       escape_cap: int | None = None
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Gather-free parent assignment: min-plus block-dense relaxation

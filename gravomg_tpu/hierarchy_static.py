@@ -84,7 +84,7 @@ def build_hierarchy_device(
         cfg: MultigridConfig = MultigridConfig(),
         level_caps: Optional[Sequence[int]] = None,
         kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
-        rap_cap: int = 96, sampling_rounds: Optional[int] = None,
+        rap_cap: int = 128, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0,
@@ -195,11 +195,11 @@ def build_hierarchy_device(
         if u is not None:
             # Gather-form U^T with a static children cap (no sync; the
             # overflow flag joins the deferred diagnostics).  The mean
-            # children count is 3 * Vf / n_real; the cap uses the
-            # planned (padded) coarse size, so relative to the real
-            # count the headroom factor is ~6 * plan_ratio.
-            cap = min(-(-max(8, 6 * 3 * u.n_fine // u.n_coarse) // 8) * 8,
-                      u.n_fine)
+            # children count is 3 * Vf / n_real; hub cells run ~3.5x
+            # the mean (measured max 26 children at mean 7.6), so the
+            # cap uses a 12x headroom factor over the padded-size mean.
+            cap = min(-(-max(8, 12 * 3 * u.n_fine // u.n_coarse) // 8)
+                      * 8, u.n_fine)
             ut, rt_ovf = build_restriction(u, cap)
             diags[i] = diags[i]._replace(rt_overflow=rt_ovf)
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)

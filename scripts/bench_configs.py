@@ -1,0 +1,159 @@
+"""BASELINE workload configs 1/2/3/5 on the TPU (config 4 = bench.py).
+
+  c1_sphere5k    5k sphere, 2-level, Jacobi, MG-PCG to 1e-8
+  c2_mesh35k     35k surface, 3-level, Chebyshev V-cycle + MG-PCG
+  c3_heat170k    170k surface, heat geodesics: two solves on a reused
+                 hierarchy (refit), the armadillo pattern
+  c5_batch64     64 RHS vmapped V-cycles on one hierarchy (the batched
+                 shape-collection pattern)
+
+One JSON line per config.  Timings are wall times of single-launch
+jitted programs with a D2H completion barrier, measured on the second
+(warm) call; the constant ~48 ms dispatch overhead of this runtime's
+post-sync mode is included and noted (see bench.py for the slope
+protocol used for the headline metric).
+
+Usage: python scripts/bench_configs.py [config ...]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".bench_cache", "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import gravomg_tpu as g
+from gravomg_tpu.geometry.meshes import icosphere, torus_points
+from gravomg_tpu.geometry.order import morton_order
+from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                          check_diagnostics,
+                                          compact_solver)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def timed_call(fn, *args):
+    """(warm_seconds, result): second call of a jitted single-launch
+    program, D2H barrier included."""
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(jnp.ravel(a)[:1].astype(jnp.float32))),
+        out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(jnp.ravel(a)[:1].astype(jnp.float32))),
+        out)
+    return time.perf_counter() - t0, out
+
+
+def pipeline(pts, k, cfg):
+    pts = pts[morton_order(pts)].astype(np.float32)
+    graph, short = grid_knn_graph_nosync(pts, k, margin=2.4)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    t0 = time.perf_counter()
+    h, diags = build_hierarchy_device(graph, spd, cfg)
+    probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+    t_build = time.perf_counter() - t0
+    assert not bool(short)
+    check_diagnostics(diags)
+    sol = g.attach_fast_operators(compact_solver(h.solver, diags))
+    return graph, spd, h, sol, t_build, [int(d.n_real) for d in diags]
+
+
+def c1_sphere5k():
+    sv, _ = icosphere(5)                       # 10242 verts; sample 5k
+    rng = np.random.default_rng(0)
+    pts = sv[rng.choice(len(sv), 5000, replace=False)]
+    cfg = g.MultigridConfig(coarse_threshold=800, smoother="jacobi",
+                            max_levels=2)
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
+    b = jnp.asarray(rng.normal(size=5000), jnp.float32)
+    t, (x, rel, it) = timed_call(
+        lambda: g.mg_pcg(sol, b, cfg))
+    emit({"config": "c1_sphere5k", "n": 5000, "levels": levels,
+          "t_build_s": round(t_build, 3), "solve_s": round(t, 4),
+          "rel_residual": float(rel), "iters": int(it)})
+
+
+def c2_mesh35k():
+    pts = torus_points(35_000, seed=2)
+    cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev",
+                            max_levels=3)
+    rng = np.random.default_rng(1)
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 14, cfg)
+    b = jnp.asarray(rng.normal(size=35_000), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("cycles",))
+    def run_cycles(hs, b, cycles):
+        def body(_, x):
+            return g.v_cycle(hs, x, b, cfg)
+        return jax.lax.fori_loop(0, cycles, body, jnp.zeros_like(b))
+
+    t8, _ = timed_call(lambda: run_cycles(sol, b, 8))
+    t_pcg, (x, rel, it) = timed_call(lambda: g.mg_pcg(sol, b, cfg))
+    emit({"config": "c2_mesh35k", "n": 35_000, "levels": levels,
+          "t_build_s": round(t_build, 3),
+          "vcycle8_s": round(t8, 4),
+          "pcg_solve_s": round(t_pcg, 4), "rel_residual": float(rel),
+          "iters": int(it)})
+
+
+def c3_heat170k():
+    pts = torus_points(170_000, seed=3)
+    cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 16, cfg)
+    from gravomg_tpu.apps.heat import heat_geodesics
+    t, phi = timed_call(lambda: heat_geodesics(graph, h, source=0,
+                                               cfg=cfg))
+    finite = bool(jnp.all(jnp.isfinite(phi)))
+    emit({"config": "c3_heat170k", "n": 170_000, "levels": levels,
+          "t_build_s": round(t_build, 3),
+          "two_solve_heat_s": round(t, 4), "finite": finite})
+
+
+def c5_batch64():
+    pts = torus_points(20_000, seed=4)
+    cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev")
+    rng = np.random.default_rng(2)
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
+    bs = jnp.asarray(rng.normal(size=(64, 20_000)), jnp.float32)
+
+    @jax.jit
+    def batch_cycle(hs, bs):
+        return jax.vmap(lambda b: g.v_cycle(hs, jnp.zeros_like(b), b,
+                                            cfg))(bs)
+
+    t, out = timed_call(lambda: batch_cycle(sol, bs))
+    emit({"config": "c5_batch64", "n": 20_000, "batch": 64,
+          "levels": levels, "t_build_s": round(t_build, 3),
+          "batch64_vcycle_s": round(t, 4),
+          "per_rhs_ms": round(t / 64 * 1000, 3)})
+
+
+ALL = {"c1": c1_sphere5k, "c2": c2_mesh35k, "c3": c3_heat170k,
+       "c5": c5_batch64}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            ALL[name]()
+        except Exception as e:  # noqa: BLE001
+            emit({"config": name, "error": f"{type(e).__name__}: {e}"})

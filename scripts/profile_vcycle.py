@@ -29,22 +29,29 @@ import jax.numpy as jnp
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.geometry.meshes import torus_points
-from gravomg_tpu.hierarchy_static import build_hierarchy_device
+from gravomg_tpu.geometry.order import morton_order
+from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                          check_diagnostics,
+                                          compact_solver)
 from gravomg_tpu.solve.spmv import spmv
 from gravomg_tpu.solve.smoothers import chebyshev
 from gravomg_tpu.solve.coarse import coarse_solve
+from gravomg_tpu.solve.vcycle import level_matvec
+from gravomg_tpu.ops.blockdense import blockdense_matvec
 from gravomg_tpu.prolong.operator import prolong, restrict
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 
 pts = torus_points(N, seed=1).astype(np.float32)
+pts = pts[morton_order(pts)]
 cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
 graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
 lap, mass = g.graph_laplacian(graph, "invdist")
 spd = lap._replace(diag=lap.diag + 0.5 * mass)
 h, diags = build_hierarchy_device(graph, spd, cfg)
-sol = h.solver
-probe = float(jnp.sum(sol.levels[-1].op.diag))  # completion barrier
+probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+check_diagnostics(diags)
+sol = g.attach_fast_operators(compact_solver(h.solver, diags))  # completion barrier
 
 shapes = [(l.op.num_vertices, l.op.max_degree) for l in sol.levels]
 print(f"# levels (padded V, K): {shapes}", file=sys.stderr)
@@ -82,16 +89,20 @@ for i, lvl in enumerate(sol.levels):
     args0 = jnp.asarray(np.random.default_rng(i).normal(size=v), jnp.float32)
     op = lvl.op
 
-    def mk_spmv(x, op=op):
-        return spmv(op, x) * 0.5 + x * 1e-6   # keep loop-carried shape
+    def mk_spmv(x, lvl=lvl):
+        return level_matvec(lvl, x) * 0.5 + x * 1e-6
 
     results[f"spmv_L{i}"] = slope_ms(mk_spmv)
 
     if lvl.cheb is not None:
         b = jnp.ones((v,), jnp.float32)
 
-        def mk_cheb(x, op=op, cheb=lvl.cheb, b=b):
-            return chebyshev(op, x, b, cheb, cfg.chebyshev_degree) * 0.5
+        def mk_cheb(x, lvl=lvl, b=b):
+            import functools as ft
+            mv = (ft.partial(level_matvec, lvl)
+                  if lvl.banded is not None else None)
+            return chebyshev(lvl.op, x, b, lvl.cheb,
+                             cfg.chebyshev_degree, mv=mv) * 0.5
 
         results[f"cheb_L{i}"] = slope_ms(mk_cheb)
 
@@ -105,18 +116,17 @@ for i, lvl in enumerate(sol.levels[:-1]):
 
     args0 = fine
 
-    def mk_restrict(x, u=u, vf=vf):
-        r = restrict(u, x)
-        return jnp.zeros((vf,), x.dtype).at[:r.shape[0]].set(0.0) + x * 0.5 \
-            + jnp.sum(r) * 1e-9
+    def mk_restrict(x, lvl=lvl, vf=vf):
+        r = blockdense_matvec(lvl.utw, x)
+        return x * 0.5 + jnp.zeros_like(x).at[:r.shape[0]].add(r * 1e-9)
 
     results[f"restrict_L{i}"] = slope_ms(mk_restrict)
 
     args0 = coarse
 
-    def mk_prolong_back(c, u=u, nc=nc):
-        f = prolong(u, c)
-        r = restrict(u, f)
+    def mk_prolong_back(c, lvl=lvl):
+        f = blockdense_matvec(lvl.uw, c)
+        r = blockdense_matvec(lvl.utw, f)
         return r * 0.25
 
     results[f"prolong+restrict_L{i}"] = slope_ms(mk_prolong_back)
