@@ -34,6 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gravomg_tpu.types import EllOperator, INVALID_INDEX
 
@@ -43,10 +44,12 @@ class BlockDenseOperator(NamedTuple):
 
     Arrays:
       diag:      (R,) or None (rectangular operators have no diagonal).
-      m:         (NBLK, BLK, NW*WIN) dense window-local entries.
+      m:         (NBLK, BLK, WIN0 + (NW-1)*WIN) dense window-local
+                 entries; window 0 (the block's diagonal band) may be
+                 wider than the far windows.
       win_start: (NBLK, NW) int32 window starts into the source vector.
       esc_rows/esc_cols/esc_w: sorted-COO escape chute.
-    Static aux: n_rows, n_cols, block, window.
+    Static aux: n_rows, n_cols, block, window (far width), window0.
     """
 
     diag: Optional[jax.Array]
@@ -59,6 +62,7 @@ class BlockDenseOperator(NamedTuple):
     n_cols: int
     block: int
     window: int
+    window0: int
 
     @property
     def nw(self) -> int:
@@ -68,28 +72,34 @@ class BlockDenseOperator(NamedTuple):
 jax.tree_util.register_pytree_node(
     BlockDenseOperator,
     lambda op: (tuple(op[:6]),
-                (op.n_rows, op.n_cols, op.block, op.window)),
+                (op.n_rows, op.n_cols, op.block, op.window, op.window0)),
     lambda aux, ch: BlockDenseOperator(*ch, *aux),
 )
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "block", "window",
                                              "nw", "escape_cap",
-                                             "combine"))
+                                             "combine", "window0"))
 def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
                         valid: jax.Array, n_cols: int,
                         diag: Optional[jax.Array] = None,
                         block: int = 64, window: int = 256, nw: int = 4,
-                        escape_cap: int = 8192, combine: str = "add"
+                        escape_cap: int = 8192, combine: str = "add",
+                        window0: Optional[int] = None
                         ) -> Tuple[BlockDenseOperator, jax.Array]:
     """Build a BlockDenseOperator from (R, K) ELL columns/values/mask.
 
-    Window 0 anchors at the block's scaled diagonal; windows 1..NW-1
-    greedily cover the remaining columns.  Returns (op, overflow) --
-    overflow means the escape chute is too small (retry with larger
-    nw / escape_cap).  One jittable pass; the dense M is built by a
-    single scatter-add.
+    Window 0 anchors at the block's scaled diagonal and may be wider
+    (``window0``, default = window) than the far windows: the diagonal
+    band needs block + 2*bandwidth coverage while fold clusters are
+    narrow, so wide-w0/narrow-far keeps coverage without inflating the
+    per-row dense width.  Windows 1..NW-1 greedily cover the remaining
+    columns.  Returns (op, overflow) -- overflow means the escape
+    chute is too small (retry with larger nw / escape_cap).  One
+    jittable pass; the dense M is built by a single scatter-add.
     """
+    if window0 is None:
+        window0 = window
     r, k = cols.shape
     if combine == "add":
         valid = valid & (vals != 0.0)   # zero entries contribute nothing
@@ -105,20 +115,21 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
     # Window 0: scaled diagonal anchor, clamped.
     ratio = n_cols / r
     anchor = (jnp.arange(nblk) * block * ratio).astype(jnp.int32) \
-        - (window - int(block * ratio)) // 2
-    w0 = jnp.clip(anchor, 0, max(n_cols - window, 0))
+        - (window0 - int(block * ratio)) // 2
+    w0 = jnp.clip(anchor, 0, max(n_cols - window0, 0))
     starts = [w0]
     remaining = jnp.where((bc >= w0[:, None])
-                          & (bc < w0[:, None] + window), imax, bc)
+                          & (bc < w0[:, None] + window0), imax, bc)
     for _ in range(nw - 1):
         s = jnp.min(remaining, axis=1)
         starts.append(s)
         remaining = jnp.where(remaining < s[:, None] + window, imax,
                               remaining)
     win_start = jnp.stack(starts, axis=1)
+    widths = np.array([window0] + [window] * (nw - 1), np.int32)
+    lims = jnp.asarray(np.maximum(n_cols - widths, 0))[None, :]
     win_start = jnp.where(win_start > n_cols - 1, 0,
-                          jnp.minimum(win_start,
-                                      jnp.maximum(n_cols - window, 0)))
+                          jnp.minimum(win_start, lims))
     win_start = jnp.maximum(win_start, 0).astype(jnp.int32)
 
     rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None],
@@ -129,20 +140,23 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
     # that TPU tile padding inflates ~40x (OOM at bench scale).
     row_blk = jnp.arange(r, dtype=jnp.int32) // block   # (R,)
     sel = jnp.full((r, k), -1, jnp.int32)
-    lidx = jnp.zeros((r, k), jnp.int32)
+    pos = jnp.zeros((r, k), jnp.int32)
+    offsets = [0]
+    for wi in range(nw - 1):
+        offsets.append(window0 + wi * window)
     for wi in range(nw):
+        width = window0 if wi == 0 else window
         ws_w = win_start[:, wi][row_blk][:, None]       # (R, 1)
-        hit = valid & (sel < 0) & (c_s >= ws_w) & (c_s < ws_w + window)
+        hit = valid & (sel < 0) & (c_s >= ws_w) & (c_s < ws_w + width)
         sel = jnp.where(hit, wi, sel)
-        lidx = jnp.where(hit, c_s - ws_w, lidx)
+        pos = jnp.where(hit, offsets[wi]
+                        + jnp.clip(c_s - ws_w, 0, width - 1), pos)
     covered = sel >= 0
-    pos = jnp.maximum(sel, 0) * window \
-        + jnp.clip(lidx, 0, window - 1)                 # (R, K)
 
-    # Dense M by one scatter into (rpad * NW * WIN + 1,).  combine="min"
+    # Dense M by one scatter into (rpad * NWW + 1,).  combine="min"
     # builds a min-plus operator: empty slots hold +inf so the tropical
     # matvec min_w(M + win) ignores them.
-    nww = nw * window
+    nww = window0 + (nw - 1) * window
     flat = jnp.where(covered,
                      rows * nww + pos,
                      rpad * nww).reshape(-1)
@@ -170,20 +184,30 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
     return (BlockDenseOperator(diag=diag, m=m, win_start=win_start,
                                esc_rows=esc_rows, esc_cols=esc_cols,
                                esc_w=esc_w, n_rows=r, n_cols=n_cols,
-                               block=block, window=window),
+                               block=block, window=window,
+                               window0=window0),
             overflow)
+
+
+def _gather_windows(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
+    """(NBLK, 1, NWW) concatenated window contents of x."""
+    nblk, nw = op.win_start.shape
+    win, win0 = op.window, op.window0
+    xw = jnp.pad(x, (0, max(win, win0)))
+    w0 = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win0,)))(
+        op.win_start[:, 0])
+    parts = [w0]
+    if nw > 1:
+        far = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win,)))(
+            op.win_start[:, 1:].reshape(-1))
+        parts.append(far.reshape(nblk, (nw - 1) * win))
+    return jnp.concatenate(parts, axis=1)[:, None, :]
 
 
 def blockdense_matvec(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
     """y = A x; x has length n_cols, result n_rows."""
     r = op.n_rows
-    nblk, nw = op.win_start.shape
-    win = op.window
-
-    xw = jnp.pad(x, (0, win))
-    idx = op.win_start.reshape(-1)
-    wins = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win,)))(idx)
-    wins = wins.reshape(nblk, 1, nw * win).astype(op.m.dtype)
+    wins = _gather_windows(op, x).astype(op.m.dtype)
 
     # Broadcast-multiply + lane reduce: measured ~3x faster than the
     # equivalent batched dot_general at block=256 (the GEMV RHS is a
@@ -219,13 +243,11 @@ def blockdense_minplus(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
     combines with min; a missing diagonal contributes nothing.
     """
     r = op.n_rows
-    nblk, nw = op.win_start.shape
-    win = op.window
-
-    xw = jnp.pad(x, (0, win), constant_values=jnp.inf)
-    idx = op.win_start.reshape(-1)
-    wins = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win,)))(idx)
-    wins = wins.reshape(nblk, 1, nw * win)
+    wins = _gather_windows(op, jnp.where(jnp.isinf(x), jnp.inf, x))
+    # Padding beyond n_cols reads zeros from _gather_windows' pad; mask
+    # them to +inf via the M entries (+inf in empty slots) -- a real
+    # entry never points past n_cols, so zero-padded window slots only
+    # meet +inf M slots.
     y = jnp.min(op.m + wins, axis=2)                    # (NBLK, BLK)
     y = y.reshape(-1)[:r]
 

@@ -128,31 +128,34 @@ def attach_restrictions(h: SolverHierarchy,
 
 
 def attach_fast_operators(h: SolverHierarchy,
-                          block: int = 256, window: int = 512,
-                          nw: int = 2, dtype=None,
+                          block: int = 256, window: int = 128,
+                          dtype=None,
                           escape_cap: Optional[int] = None
                           ) -> SolverHierarchy:
     """Populate gather-free block-dense operator forms on every level.
 
     Requires a spatially (e.g. Morton) ordered hierarchy -- coarse
-    levels inherit the fine order, so all levels band.  Host-level:
-    retries with doubled window count / escape capacity on overflow.
-    The coarsest level keeps only its dense factor (no smoothing
-    there).  ``dtype`` optionally down-casts the dense window matrices
-    (e.g. bf16 for the V-cycle preconditioner); default keeps the
-    operator dtype (exact: same products, different add order).
+    levels inherit the fine order, so all levels band.  Window
+    geometry: a wide window 0 covering each row block's diagonal band
+    plus several narrow (``window``-wide) far windows for fold
+    clusters; retries with more far windows / larger escape capacity
+    on overflow (host-level).  The coarsest level keeps only its dense
+    factor (no smoothing there).  ``dtype`` optionally down-casts the
+    dense window matrices (e.g. bf16 for the V-cycle preconditioner);
+    default keeps the operator dtype (exact: same products, different
+    add order).
     """
     from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
                                             blockdense_from_operator)
     from gravomg_tpu.types import INVALID_INDEX
 
-    def convert(build, *args, v, start_nw, start_cap, **kw):
+    def convert(build, *args, start_nw, start_cap, **kw):
         cur_nw, cap = start_nw, start_cap
         while True:
             bop, ovf = build(*args, nw=cur_nw, escape_cap=cap, **kw)
             if not bool(ovf):
                 break
-            cur_nw = min(cur_nw + 2, 16)
+            cur_nw = min(cur_nw + 2, 24)
             cap = cap * 4
         if dtype is not None:
             bop = bop._replace(m=bop.m.astype(dtype))
@@ -164,35 +167,38 @@ def attach_fast_operators(h: SolverHierarchy,
         v = lvl.op.num_vertices
         blk = min(block, max(v // 8, 8))
         if li < len(h.levels) - 1:
-            win = min(window, v)
+            # Diagonal band: block +- 2*block covers the near spread.
+            w0 = min(-(-3 * blk // 128) * 128, v)
             new = new._replace(banded=convert(
-                blockdense_from_operator, lvl.op, v=v, start_nw=nw,
+                blockdense_from_operator, lvl.op, start_nw=6,
                 start_cap=escape_cap or max(1024, v // 8),
-                block=blk, window=win))
+                block=blk, window=min(window, v), window0=w0))
         if lvl.u is not None:
             u = lvl.u
             nc = u.n_coarse
-            # U columns cluster around row/ratio; narrow windows.
-            win_u = min(window, nc)
+            # U columns cluster around row/ratio: a block of BLK fine
+            # rows spans ~BLK/ratio coarse columns plus cell adjacency.
+            ratio = max(u.n_fine // max(nc, 1), 1)
+            w0 = min(-(-max(2 * blk // ratio, 64) // 64) * 64, nc)
             new = new._replace(uw=convert(
                 blockdense_from_ell, u.cols, u.weights,
-                jnp.ones_like(u.cols, bool), nc, v=u.n_fine,
-                start_nw=nw, start_cap=escape_cap or max(1024,
-                                                         u.n_fine // 16),
-                block=blk, window=win_u))
+                jnp.ones_like(u.cols, bool), nc,
+                start_nw=4,
+                start_cap=escape_cap or max(1024, u.n_fine // 16),
+                block=blk, window=min(window, nc), window0=w0))
         if lvl.ut is not None:
             rt = lvl.ut
-            # A block of coarse rows spans ~block*ratio fine columns;
-            # the window must cover it.
+            # A block of coarse rows spans ~block*ratio fine columns.
             ratio = max(rt.n_fine // max(rt.n_coarse, 1), 1)
             blk_r = min(64, max(rt.n_coarse // 8, 8))
-            win_r = min(max(2 * blk_r * ratio, window), rt.n_fine)
+            w0 = min(-(-2 * blk_r * ratio // 128) * 128, rt.n_fine)
             new = new._replace(utw=convert(
                 blockdense_from_ell, rt.safe_rows(), rt.weights,
                 rt.rows != INVALID_INDEX, rt.n_fine,
-                v=rt.n_coarse, start_nw=nw,
+                start_nw=4,
                 start_cap=escape_cap or max(1024, rt.n_coarse),
-                block=blk_r, window=win_r))
+                block=blk_r, window=min(window, rt.n_fine),
+                window0=w0))
         levels.append(new)
     return h._replace(levels=tuple(levels))
 

@@ -58,13 +58,18 @@ print(f"# levels (padded V, K): {shapes}", file=sys.stderr)
 
 
 def slope_ms(make_fn, n1=3, n2=13, reps=3):
-    """Per-iteration ms of fn iterated inside one jitted fori_loop."""
+    """Per-iteration ms of fn iterated inside one jitted fori_loop.
+
+    ``args0`` is a (x, aux) pair passed as a jit ARGUMENT -- closure
+    capture would bake multi-GB operator tables into the HLO as
+    constants (observed 2.5 GB captured)."""
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def run(args, iters):
-        def body(_, a):
-            return make_fn(a)
-        return jax.lax.fori_loop(0, iters, body, args)
+        x, aux = args
+        def body(_, xx):
+            return make_fn(xx, aux)
+        return jax.lax.fori_loop(0, iters, body, x), aux
 
     def timed(iters):
         out = run(args0, iters)
@@ -86,22 +91,20 @@ results = {}
 
 for i, lvl in enumerate(sol.levels):
     v = lvl.op.num_vertices
-    args0 = jnp.asarray(np.random.default_rng(i).normal(size=v), jnp.float32)
-    op = lvl.op
+    args0 = (jnp.asarray(np.random.default_rng(i).normal(size=v),
+                         jnp.float32), lvl)
 
-    def mk_spmv(x, lvl=lvl):
+    def mk_spmv(x, lvl):
         return level_matvec(lvl, x) * 0.5 + x * 1e-6
 
     results[f"spmv_L{i}"] = slope_ms(mk_spmv)
 
     if lvl.cheb is not None:
-        b = jnp.ones((v,), jnp.float32)
-
-        def mk_cheb(x, lvl=lvl, b=b):
+        def mk_cheb(x, lvl):
             import functools as ft
             mv = (ft.partial(level_matvec, lvl)
                   if lvl.banded is not None else None)
-            return chebyshev(lvl.op, x, b, lvl.cheb,
+            return chebyshev(lvl.op, x, jnp.ones_like(x), lvl.cheb,
                              cfg.chebyshev_degree, mv=mv) * 0.5
 
         results[f"cheb_L{i}"] = slope_ms(mk_cheb)
@@ -114,17 +117,17 @@ for i, lvl in enumerate(sol.levels[:-1]):
     coarse = jnp.asarray(np.random.default_rng(8).normal(size=nc),
                          jnp.float32)
 
-    args0 = fine
+    args0 = (fine, lvl)
 
-    def mk_restrict(x, lvl=lvl, vf=vf):
+    def mk_restrict(x, lvl):
         r = blockdense_matvec(lvl.utw, x)
         return x * 0.5 + jnp.zeros_like(x).at[:r.shape[0]].add(r * 1e-9)
 
     results[f"restrict_L{i}"] = slope_ms(mk_restrict)
 
-    args0 = coarse
+    args0 = (coarse, lvl)
 
-    def mk_prolong_back(c, lvl=lvl):
+    def mk_prolong_back(c, lvl):
         f = blockdense_matvec(lvl.uw, c)
         r = blockdense_matvec(lvl.utw, f)
         return r * 0.25
@@ -132,11 +135,11 @@ for i, lvl in enumerate(sol.levels[:-1]):
     results[f"prolong+restrict_L{i}"] = slope_ms(mk_prolong_back)
 
 nclast = sol.levels[-1].op.num_vertices
-args0 = jnp.asarray(np.random.default_rng(9).normal(size=nclast), jnp.float32)
-chol = sol.coarse_chol
+args0 = (jnp.asarray(np.random.default_rng(9).normal(size=nclast),
+                     jnp.float32), sol.coarse_chol)
 
 
-def mk_coarse(b):
+def mk_coarse(b, chol):
     return coarse_solve(chol, b) * 0.5 + b * 0.1
 
 
@@ -145,11 +148,11 @@ results["coarse_solve"] = slope_ms(mk_coarse)
 # Full V-cycle for cross-check.
 b0 = jnp.asarray(np.random.default_rng(0).normal(size=shapes[0][0]),
                  jnp.float32)
-args0 = jnp.zeros_like(b0)
+args0 = (jnp.zeros_like(b0), sol)
 
 
-def mk_vc(x):
-    return g.v_cycle(sol, x, b0, cfg)
+def mk_vc(x, sol):
+    return g.v_cycle(sol, x, b0 * 0 + 1.0, cfg)
 
 
 results["v_cycle_total"] = slope_ms(mk_vc)
