@@ -48,7 +48,8 @@ from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
                                          weighted_jacobi)
 from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
                                       attach_fast_operators,
-                                      attach_restrictions, level_matvec,
+                                      attach_restrictions,
+                                      cast_fast_operators, level_matvec,
                                       solve, solve_refined, v_cycle)
 from gravomg_tpu.solve.cg import mg_pcg, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,

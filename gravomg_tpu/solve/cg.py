@@ -40,12 +40,13 @@ def pcg(op: EllOperator, b: jax.Array,
     def body(state):
         x, r, z, p, rz, it, _ = state
         ap = mv(p)
-        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-300)
+        tiny = jnp.asarray(jnp.finfo(rz.dtype).tiny, rz.dtype)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), tiny)
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-300)
+        beta = rz_new / jnp.maximum(rz, tiny)
         p = z + beta * p
         rel = jnp.linalg.norm(r) / bnorm
         return x, r, z, p, rz_new, it + 1, rel
@@ -61,18 +62,23 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mg_pcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
-           x0: Optional[jax.Array] = None):
+           x0: Optional[jax.Array] = None,
+           h_outer: Optional[SolverHierarchy] = None):
     """CG on the finest operator, preconditioned by one V-cycle.
 
-    Jitted with the hierarchy as an argument and the config static."""
+    Jitted with the hierarchy as an argument and the config static.
+    ``h_outer`` optionally supplies a higher-precision fine operator for
+    CG's own matvec while ``h`` runs the (bf16-tolerant) preconditioner
+    -- CG absorbs preconditioner error but needs the true residual."""
     import functools as _ft
 
     from gravomg_tpu.solve.vcycle import level_matvec
-    op = h.levels[0].op
+    outer = h_outer if h_outer is not None else h
+    op = outer.levels[0].op
 
     def precond(r):
-        return v_cycle(h, jnp.zeros_like(r), r, cfg)
+        return v_cycle(h, jnp.zeros_like(r), r, cfg).astype(r.dtype)
 
     return pcg(op, b, precond, tol=cfg.tolerance,
                max_iters=cfg.max_cycles, x0=x0,
-               mv=_ft.partial(level_matvec, h.levels[0]))
+               mv=_ft.partial(level_matvec, outer.levels[0]))

@@ -203,6 +203,23 @@ def attach_fast_operators(h: SolverHierarchy,
     return h._replace(levels=tuple(levels))
 
 
+def cast_fast_operators(h: SolverHierarchy, dtype) -> SolverHierarchy:
+    """Cheap copy of a fast-operator hierarchy with the dense window
+    matrices cast to ``dtype`` (e.g. bf16 for preconditioner duty;
+    halves the dominant M-streaming cost).  Diagonals, escape chutes,
+    and the exact ELL operators keep their precision."""
+    levels = []
+    for lvl in h.levels:
+        new = lvl
+        for field in ("banded", "uw", "utw"):
+            bop = getattr(lvl, field)
+            if bop is not None:
+                new = new._replace(**{field: bop._replace(
+                    m=bop.m.astype(dtype))})
+        levels.append(new)
+    return h._replace(levels=tuple(levels))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
           x0: Optional[jax.Array] = None):

@@ -23,9 +23,9 @@ sys.path.insert(0, "/root/repo")
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.hierarchy_static import plan_levels
-from gravomg_tpu.coarsen.sampling import fast_disc_sample_mask, \
-    sampling_radius
-from gravomg_tpu.coarsen.parents import assign_parents
+from gravomg_tpu.coarsen.sampling import (fast_disc_sample_priority,
+                                          sampling_radius)
+from gravomg_tpu.coarsen.parents import assign_parents_bd
 from gravomg_tpu.coarsen.graph import coarse_graph, extract_coarse_edges
 from gravomg_tpu.coarsen.placement import coarse_from_mean_of_fine_children
 from gravomg_tpu.prolong.triangles import construct_voronoi_triangles
@@ -38,7 +38,9 @@ from gravomg_tpu.types import INVALID_INDEX
 
 def main(depth: int, n: int = 1_000_000):
     from gravomg_tpu.geometry.meshes import torus_points
+    from gravomg_tpu.geometry.order import morton_order
     pts = torus_points(n, seed=1).astype(np.float32)
+    pts = pts[morton_order(pts)]
     cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
     keep = []
 
@@ -50,13 +52,13 @@ def main(depth: int, n: int = 1_000_000):
         last = spd.diag
     if depth >= 3:
         radius = sampling_radius(graph, cfg.reduction_ratio)
-        mask = fast_disc_sample_mask(graph, radius)
+        mask, _ = fast_disc_sample_priority(graph, radius)
         cap = plan_levels(n, cfg)[0]
         raw = jnp.nonzero(mask, size=cap, fill_value=n)[0]
         samples = jnp.where(raw < n, raw, INVALID_INDEX).astype(jnp.int32)
         last = samples
     if depth >= 4:
-        parents, _ = assign_parents(graph, samples)
+        parents, _, _ = assign_parents_bd(graph, samples)
         last = parents
     if depth >= 5:
         columns, e_ovf = extract_coarse_edges(graph, parents, cap, 47)

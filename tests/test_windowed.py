@@ -72,6 +72,22 @@ def test_fast_operators_vcycle_matches(rng):
     assert float(rel2) <= cfg.tolerance
 
 
+def test_bf16_preconditioner_pcg(rng):
+    """bf16 window matrices in the V-cycle preconditioner still let
+    f32-outer MG-PCG reach 1e-8."""
+    import jax.numpy as jnp2
+    h = _hierarchy()
+    cfg = g.MultigridConfig(coarse_threshold=100)
+    hf = g.attach_fast_operators(h.solver)
+    h16 = g.cast_fast_operators(hf, jnp.bfloat16)
+    assert h16.levels[0].banded.m.dtype == jnp.bfloat16
+    v = h.solver.levels[0].op.num_vertices
+    b = jnp.asarray(rng.normal(size=v))   # hierarchy dtype (f64 tests)
+    x, rel, it = g.mg_pcg(h16, b, cfg, h_outer=hf)
+    assert float(rel) <= cfg.tolerance, float(rel)
+    assert int(it) <= 3 * int(g.mg_pcg(hf, b, cfg)[2]) + 5
+
+
 def test_windowed_overflow(rng):
     h = _hierarchy(1200)
     u = h.solver.levels[0].u
