@@ -162,11 +162,42 @@ iters_pcg = int(iters_pcg)
 rel_pcg = float(rel_pcg)
 time_to_1e8 = pcg_it_s * iters_pcg
 
+# bf16 V-cycle preconditioner around the f32 CG (halves the dominant
+# window-matrix streaming; CG supplies the exact f32 residual).
+sol16 = g.cast_fast_operators(sol, jnp.bfloat16)
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def run_pcg16(h16, hs, b, iters):
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = g.v_cycle(h16, jnp.zeros_like(r0), r0, cfg).astype(b.dtype)
+    def body(_, st):
+        x, r, z, p, rz = st
+        ap = g.level_matvec(hs.levels[0], p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = g.v_cycle(h16, jnp.zeros_like(r), r, cfg).astype(b.dtype)
+        rz2 = jnp.vdot(r, z)
+        return x, r, z, z + (rz2 / jnp.maximum(rz, 1e-30)) * p, rz2
+    st = jax.lax.fori_loop(0, iters, body,
+                           (x0, r0, z0, z0, jnp.vdot(r0, z0)))
+    return st[0]
+
+q1, _ = timed(lambda c: run_pcg16(sol16, sol, b, c), n1)
+q2, _ = timed(lambda c: run_pcg16(sol16, sol, b, c), n2)
+pcg16_it_s = (q2 - q1) / (n2 - n1)
+_, rel16, iters16 = g.mg_pcg(sol16, b, cfg, h_outer=sol)
+time_to_1e8_bf16 = pcg16_it_s * int(iters16)
+
 json.dump({"t_build": t_build, "t1": t1, "t2": t2, "t3": t3,
            "n1": n1, "n2": n2, "n3": n3, "slope_s": float(slope),
            "slope_r2": r2, "residual": rel,
            "pcg_iter_s": pcg_it_s, "pcg_iters": iters_pcg,
            "pcg_rel": rel_pcg, "time_to_1e8_s": time_to_1e8,
+           "pcg16_iter_s": pcg16_it_s, "pcg16_iters": int(iters16),
+           "pcg16_rel": float(rel16),
+           "time_to_1e8_bf16_s": time_to_1e8_bf16,
            "levels": [int(d.n_real) for d in diags],
            "shapes": [(l.op.num_vertices, l.op.max_degree)
                       for l in sol.levels]}, open(out, "w"))
@@ -332,6 +363,10 @@ def main():
           f"pcg_iter_ms={r['pcg_iter_s']*1000:.3f} "
           f"pcg_iters_to_1e8={r['pcg_iters']} pcg_rel={r['pcg_rel']:.2e} "
           f"time_to_1e8_s={r['time_to_1e8_s']:.4f} "
+          f"bf16: pcg_iter_ms={r.get('pcg16_iter_s', 0)*1000:.3f} "
+          f"iters={r.get('pcg16_iters', -1)} "
+          f"rel={r.get('pcg16_rel', -1):.2e} "
+          f"t1e8={r.get('time_to_1e8_bf16_s', -1):.4f} "
           f"levels={r['levels']} shapes={r['shapes']}", file=sys.stderr)
 
 

@@ -85,7 +85,8 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
                         diag: Optional[jax.Array] = None,
                         block: int = 64, window: int = 256, nw: int = 4,
                         escape_cap: int = 8192, combine: str = "add",
-                        window0: Optional[int] = None
+                        window0: Optional[int] = None,
+                        anchors: Optional[jax.Array] = None
                         ) -> Tuple[BlockDenseOperator, jax.Array]:
     """Build a BlockDenseOperator from (R, K) ELL columns/values/mask.
 
@@ -112,10 +113,17 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
                      constant_values=imax)
     bc = cols_p.reshape(nblk, block * k)
 
-    # Window 0: scaled diagonal anchor, clamped.
+    # Window 0 anchor: explicit per-block centers when provided (for
+    # rectangular transfers the coarse<->fine index map is monotone but
+    # NOT linear -- sampling-density drift puts the true center ~1e3
+    # indices off the n_cols/r guess at bench scale), else the scaled
+    # diagonal.
     ratio = n_cols / r
-    anchor = (jnp.arange(nblk) * block * ratio).astype(jnp.int32) \
-        - (window0 - int(block * ratio)) // 2
+    if anchors is not None:
+        anchor = anchors.astype(jnp.int32) - window0 // 2
+    else:
+        anchor = (jnp.arange(nblk) * block * ratio).astype(jnp.int32) \
+            - (window0 - int(block * ratio)) // 2
     w0 = jnp.clip(anchor, 0, max(n_cols - window0, 0))
     starts = [w0]
     remaining = jnp.where((bc >= w0[:, None])
@@ -232,6 +240,35 @@ def blockdense_from_operator(op: EllOperator, **kw
     """Square-operator convenience wrapper (keeps the diagonal exact)."""
     return blockdense_from_ell(op.neighbors, op.offdiag, op.mask,
                                op.num_vertices, diag=op.diag, **kw)
+
+
+def block_anchors(cols: jax.Array, valid: jax.Array,
+                  block: int) -> jax.Array:
+    """Per-block window-0 anchor = median-ish center of each row
+    block's valid columns (min+max)/2 -- cheap, robust to folds."""
+    r, k = cols.shape
+    nblk = -(-r // block)
+    imax = jnp.iinfo(jnp.int32).max
+    up = jnp.where(valid, cols, imax)
+    lo = jnp.pad(up, ((0, nblk * block - r), (0, 0)),
+                 constant_values=imax).reshape(nblk, block * k)
+    cmin = jnp.min(lo, axis=1)
+    dn = jnp.where(valid, cols, -1)
+    hi = jnp.pad(dn, ((0, nblk * block - r), (0, 0)),
+                 constant_values=-1).reshape(nblk, block * k)
+    cmax = jnp.max(hi, axis=1)
+    # Empty blocks: anchor 0.  min+max midpoint is fold-sensitive, so
+    # use the MEDIAN of each block's first-valid-column per row instead
+    # when available: rows' first columns are the parent-adjacent
+    # cluster centers.
+    first = jnp.where(valid[:, 0], cols[:, 0],
+                      jnp.where(jnp.any(valid, 1),
+                                jnp.max(jnp.where(valid, cols, -1), 1),
+                                0))
+    fb = jnp.pad(first, (0, nblk * block - r)).reshape(nblk, block)
+    med = jnp.median(fb, axis=1).astype(jnp.int32)
+    ok = cmin <= cmax
+    return jnp.where(ok, med, 0).astype(jnp.int32)
 
 
 def blockdense_minplus(op: BlockDenseOperator, x: jax.Array) -> jax.Array:

@@ -145,7 +145,8 @@ def attach_fast_operators(h: SolverHierarchy,
     default keeps the operator dtype (exact: same products, different
     add order).
     """
-    from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
+    from gravomg_tpu.ops.blockdense import (block_anchors,
+                                            blockdense_from_ell,
                                             blockdense_from_operator)
     from gravomg_tpu.types import INVALID_INDEX
 
@@ -179,26 +180,31 @@ def attach_fast_operators(h: SolverHierarchy,
             # U columns cluster around row/ratio: a block of BLK fine
             # rows spans ~BLK/ratio coarse columns plus cell adjacency.
             ratio = max(u.n_fine // max(nc, 1), 1)
-            w0 = min(-(-max(2 * blk // ratio, 64) // 64) * 64, nc)
+            w0 = min(-(-max(4 * blk // ratio, 128) // 64) * 64, nc)
+            anch = block_anchors(u.cols, jnp.ones_like(u.cols, bool),
+                                 blk)
             new = new._replace(uw=convert(
                 blockdense_from_ell, u.cols, u.weights,
                 jnp.ones_like(u.cols, bool), nc,
                 start_nw=4,
                 start_cap=escape_cap or max(1024, u.n_fine // 16),
-                block=blk, window=min(window, nc), window0=w0))
+                block=blk, window=min(window, nc), window0=w0,
+                anchors=anch))
         if lvl.ut is not None:
             rt = lvl.ut
             # A block of coarse rows spans ~block*ratio fine columns.
             ratio = max(rt.n_fine // max(rt.n_coarse, 1), 1)
             blk_r = min(64, max(rt.n_coarse // 8, 8))
-            w0 = min(-(-2 * blk_r * ratio // 128) * 128, rt.n_fine)
+            w0 = min(-(-3 * blk_r * ratio // 128) * 128, rt.n_fine)
+            vmask = rt.rows != INVALID_INDEX
+            anch = block_anchors(rt.safe_rows(), vmask, blk_r)
             new = new._replace(utw=convert(
                 blockdense_from_ell, rt.safe_rows(), rt.weights,
-                rt.rows != INVALID_INDEX, rt.n_fine,
+                vmask, rt.n_fine,
                 start_nw=4,
                 start_cap=escape_cap or max(1024, rt.n_coarse),
                 block=blk_r, window=min(window, rt.n_fine),
-                window0=w0))
+                window0=w0, anchors=anch))
         levels.append(new)
     return h._replace(levels=tuple(levels))
 
