@@ -223,7 +223,9 @@ import jax.numpy as jnp
 import gravomg_tpu as g
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
 from gravomg_tpu.geometry.meshes import torus_points
+from gravomg_tpu.geometry.order import morton_order
 from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                          check_diagnostics,
                                           compact_solver)
 import scipy.sparse as sp
 import scipy.linalg as sla
@@ -233,12 +235,14 @@ n, out_json = int(sys.argv[1]), sys.argv[2]
 # (conservative for the CPU).
 nb = min(n, 200000)
 pts = torus_points(nb, seed=1).astype(np.float32)
+pts = pts[morton_order(pts)]
 graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
 assert not bool(short)
 lap, mass = g.graph_laplacian(graph, "invdist")
 spd = lap._replace(diag=lap.diag + 0.5*mass)
 cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
 h, diags = build_hierarchy_device(graph, spd, cfg)
+check_diagnostics(diags)
 hs = compact_solver(h.solver, diags)
 
 def ell_to_csr(op):
