@@ -374,8 +374,17 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
         block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
         escape_cap=cap)
 
-    pr = jax.random.permutation(jax.random.PRNGKey(seed), v
-                                ).astype(jnp.float32)
+    # Priorities must be pairwise DISTINCT f32 values: above 2^24 a
+    # plain float cast collapses permutation values and two conflicting
+    # vertices could both SELECT in one round (neither sees
+    # min_und < pr), silently breaking MIS independence.  A monotone
+    # int32 -> f32 BITCAST keeps them distinct for any V < 2^31: for
+    # non-negative ints the IEEE-754 bit-pattern order equals float
+    # order, and offsetting by 2^23 keeps every value a *normal* float
+    # (TPU flushes denormals to zero, which would collapse small ints).
+    perm = jax.random.permutation(jax.random.PRNGKey(seed), v)
+    pr = jax.lax.bitcast_convert_type(
+        perm.astype(jnp.int32) + jnp.int32(2 ** 23), jnp.float32)
 
     def round_body(state):
         status, _, it = state

@@ -93,6 +93,21 @@ def build_hierarchy_device(
 
     Returns (hierarchy, per-level diagnostics).  Call
     :func:`check_diagnostics` afterwards (it syncs) to validate caps.
+
+    **Preconditions & semantics of the defaults.**  The default path
+    (``gather_free=True``) requires the input cloud to be **spatially
+    ordered** (e.g. ``points[morton_order(points)]``, see
+    ``geometry/order.py``): the block-dense conflict/min-plus operators
+    band only under index locality, and an unordered cloud overflows
+    their windows -- surfaced as ``bd_overflow`` by
+    :func:`check_diagnostics`, not as a wrong-but-silent result, but
+    only if the caller checks.  The default sampling
+    (``exact_sampling=False``) is a random-priority maximal independent
+    set of the *same* conflict relation as the reference greedy
+    (`/root/reference/src/sampling.cpp:7-53`) -- a valid disc sampling
+    with identical spacing guarantees, but a *different hierarchy* than
+    the reference's index-order greedy.  Pass ``exact_sampling=True``
+    (or ``gather_free=False``) for reference-compatible coarsening.
     """
     if level_caps is None:
         level_caps = plan_levels(graph.num_vertices, cfg)
@@ -138,6 +153,14 @@ def build_hierarchy_device(
                 mask = fast_disc_sample_mask(g, radius, prune_cap=p_cap)
                 s_undec = jnp.bool_(False)
             s_undec = s_undec | p_ovf
+        if gather_free:
+            # Conflict-table overflow (kc_cap/k_prune/escape) and round
+            # non-convergence belong to the gather-free machinery, not
+            # to the sampling_rounds knob (unused on this path): route
+            # them into bd_overflow so check_diagnostics names the
+            # right caps.
+            bd_ovf = bd_ovf | s_undec
+            s_undec = jnp.bool_(False)
         mask = mask & fine_valid
         n_real = jnp.sum(mask).astype(jnp.int32)
         raw = jnp.nonzero(mask, size=cap, fill_value=g.num_vertices)[0]
@@ -301,8 +324,11 @@ def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
         if bool(d.rt_overflow):
             problems.append("U^T children cap overflow")
         if bool(d.bd_overflow):
-            problems.append("gather-free build caps overflow "
-                            "(conflict/min-plus block-dense)")
+            problems.append(
+                "gather-free build invalid: conflict/min-plus "
+                "block-dense caps overflowed or sampling rounds did "
+                "not converge -- raise kc_cap / escape_cap / nw, and "
+                "check the cloud is spatially (Morton) ordered")
         if problems:
             raise RuntimeError(
                 f"device-resident build level {i}: " + "; ".join(problems)

@@ -316,6 +316,12 @@ def build_restriction(u_op: Prolongation,
     from gravomg_tpu.types import Restriction
 
     vf = u_op.n_fine
+    if vf >= 2 ** 29:
+        # (fine row, slot) packs as fine*4 + slot in int32; beyond 2^29
+        # rows that silently wraps and corrupts the children table.
+        raise ValueError(
+            f"build_restriction: n_fine={vf} >= 2**29 overflows the "
+            "int32 (row, slot) packing; shard the level first")
     nc = u_op.n_coarse
     cols = u_op.cols.reshape(-1)                     # (3 Vf,)
     w = u_op.weights.reshape(-1)

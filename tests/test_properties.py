@@ -239,3 +239,21 @@ def test_priority_sampling_is_valid_mis(rng):
     # determinism
     m2, _ = fast_disc_sample_priority(graph, r, seed=3)
     np.testing.assert_array_equal(np.asarray(m2), m)
+
+
+def test_priority_bitcast_distinct_beyond_f32_ints():
+    """MIS priorities must stay pairwise distinct above 2^24 vertices
+    (ADVICE r2): the int32->f32 bitcast (offset 2^23) is strictly
+    monotone and collision-free where a plain float cast collapses."""
+    import jax
+    # Values straddling 2^24 where float32 cast collides.
+    vals = np.array([2**24 - 2, 2**24 - 1, 2**24, 2**24 + 1, 2**24 + 2,
+                     0, 1, 2, 3, 2**26, 2**26 + 1], np.int32)
+    plain = vals.astype(np.float32)
+    assert len(np.unique(plain)) < len(vals)          # the failure mode
+    pr = np.asarray(jax.lax.bitcast_convert_type(
+        jnp.asarray(vals) + jnp.int32(2**23), jnp.float32))
+    assert len(np.unique(pr)) == len(vals)
+    order = np.argsort(vals)
+    assert (np.diff(pr[order]) > 0).all()             # monotone
+    assert np.isfinite(pr).all() and (pr > 0).all()   # normal floats
