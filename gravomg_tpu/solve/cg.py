@@ -57,7 +57,86 @@ def pcg(op: EllOperator, b: jax.Array,
     return x, rel, it
 
 
+def fcg(op: EllOperator, b: jax.Array,
+        precond: Callable[[jax.Array], jax.Array],
+        tol: float = 1e-8, max_iters: int = 500,
+        x0: Optional[jax.Array] = None,
+        mv: Optional[Callable[[jax.Array], jax.Array]] = None
+        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Flexible preconditioned CG (Notay's FCG / IPCG).
+
+    Identical to :func:`pcg` except the direction update uses the
+    Polak-Ribiere form  beta = z_{k+1}.(r_{k+1} - r_k) / (z_k.r_k),
+    which re-orthogonalizes against the previous direction and stays
+    convergent when the preconditioner varies between iterations or is
+    only approximately symmetric -- e.g. a bf16 V-cycle, whose rounding
+    makes M slightly nonsymmetric and iteration-dependent.  Fixed-beta
+    PCG diverges under that violation (measured at 200k, BENCH_r02);
+    FCG costs one extra dot product per iteration.
+
+    Returns (x, relative_residual, iterations).
+    """
+    if mv is None:
+        mv = lambda y: spmv(op, y)  # noqa: E731
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    r0 = b - mv(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, it, rel = state
+        return (rel > tol) & (it < max_iters)
+
+    def body(state):
+        x, r, z, p, rz, it, _ = state
+        ap = mv(p)
+        tiny = jnp.asarray(jnp.finfo(rz.dtype).tiny, rz.dtype)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), tiny)
+        x = x + alpha * p
+        r_new = r - alpha * ap
+        z = precond(r_new)
+        rz_new = jnp.vdot(r_new, z)
+        # Polak-Ribiere: subtract the stale-residual component so the
+        # new direction is A-orthogonal to p even when M changed.
+        beta = (rz_new - jnp.vdot(r, z)) / jnp.maximum(rz, tiny)
+        p = z + beta * p
+        rel = jnp.linalg.norm(r_new) / bnorm
+        return x, r_new, z, p, rz_new, it + 1, rel
+
+    rel0 = jnp.linalg.norm(r0) / bnorm
+    state = (x0, r0, z0, p0, rz0, jnp.int32(0), rel0)
+    x, _, _, _, _, it, rel = jax.lax.while_loop(cond, body, state)
+    return x, rel, it
+
+
 import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mg_fcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
+           x0: Optional[jax.Array] = None,
+           h_outer: Optional[SolverHierarchy] = None):
+    """Flexible CG preconditioned by one V-cycle on ``h``.
+
+    The flexible update makes a reduced-precision (bf16) V-cycle a
+    usable preconditioner: pass the bf16-cast hierarchy as ``h`` and
+    the exact one as ``h_outer`` (CG's own matvec and residuals stay
+    f32).  See :func:`fcg`."""
+    import functools as _ft
+
+    from gravomg_tpu.solve.vcycle import level_matvec
+    outer = h_outer if h_outer is not None else h
+    op = outer.levels[0].op
+
+    def precond(r):
+        return v_cycle(h, jnp.zeros_like(r), r, cfg).astype(r.dtype)
+
+    return fcg(op, b, precond, tol=cfg.tolerance,
+               max_iters=cfg.max_cycles, x0=x0,
+               mv=_ft.partial(level_matvec, outer.levels[0]))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,97 @@
+"""TPU microbenchmark: Pallas vs XLA block-dense SpMV at level-0 scale.
+
+Builds only the level-0 operator, converts at several window
+geometries, and slope-times (bench.py protocol) the XLA
+blockdense_matvec against the Pallas kernel -- establishing achieved
+bandwidth and per-program overhead before committing to a slab design.
+
+Usage: python scripts/profile_pallas.py [n]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".bench_cache", "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import gravomg_tpu as g
+from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+from gravomg_tpu.geometry.meshes import torus_points
+from gravomg_tpu.geometry.order import morton_order
+from gravomg_tpu.ops.blockdense import (blockdense_from_operator,
+                                        blockdense_matvec)
+from gravomg_tpu.ops.pallas_blockdense import blockdense_matvec_pallas
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+pts = torus_points(N, seed=1).astype(np.float32)
+pts = pts[morton_order(pts)]
+graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
+lap, mass = g.graph_laplacian(graph, "invdist")
+spd = lap._replace(diag=lap.diag + 0.5 * mass)
+x = jnp.asarray(np.random.default_rng(0).normal(size=N), jnp.float32)
+
+
+def slope_ms(fn, args0, n1=3, n2=23, reps=3):
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(args, iters):
+        xx, aux = args
+
+        def body(_, v):
+            return fn(aux, v) * 0.5
+
+        return jax.lax.fori_loop(0, iters, body, xx), aux
+
+    def timed(iters):
+        out = run(args0, iters)
+        float(jnp.sum(out[0][:4]))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(args0, iters)
+            float(jnp.sum(out[0][:4]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(n1)
+    t2 = timed(n2)
+    return (t2 - t1) / (n2 - n1) * 1000.0
+
+
+GEOMS = [
+    # (block, window, nw, window0)  -- round-2 default first
+    (256, 128, 6, 768),
+    (64, 128, 10, 384),
+    (32, 128, 11, 384),
+]
+
+for blk, win, nw, w0 in GEOMS:
+    bop, ovf = blockdense_from_operator(
+        spd, block=blk, window=win, nw=nw, escape_cap=200_000,
+        window0=w0)
+    nblk, _, nww = bop.m.shape
+    mb = bop.m.size * 4 / 1e6
+    n_esc = int(jnp.sum(bop.esc_rows < bop.n_rows))
+    print(f"geom blk={blk} w0={w0} wf={win} nw={nw}: "
+          f"M={mb:.0f}MB programs={nblk} esc={n_esc} ovf={bool(ovf)}",
+          flush=True)
+    y_x = blockdense_matvec(bop, x)
+    y_p = blockdense_matvec_pallas(bop, x)
+    err = float(jnp.max(jnp.abs(y_x - y_p))
+                / jnp.maximum(jnp.max(jnp.abs(y_x)), 1e-30))
+    t_x = slope_ms(blockdense_matvec, (x, bop))
+    t_p = slope_ms(blockdense_matvec_pallas, (x, bop))
+    ideal = mb / 819e3
+    print(f"  xla={t_x:.3f}ms pallas={t_p:.3f}ms ideal={ideal:.3f}ms "
+          f"rel_err={err:.2e}", flush=True)
