@@ -49,6 +49,7 @@ from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
 from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
                                       attach_fast_operators,
                                       attach_restrictions,
+                                      attach_slab_operators,
                                       cast_fast_operators, level_matvec,
                                       solve, solve_refined, v_cycle)
 from gravomg_tpu.solve.cg import fcg, mg_fcg, mg_pcg, pcg

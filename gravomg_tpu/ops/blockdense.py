@@ -79,14 +79,16 @@ jax.tree_util.register_pytree_node(
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "block", "window",
                                              "nw", "escape_cap",
-                                             "combine", "window0"))
+                                             "combine", "window0",
+                                             "align"))
 def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
                         valid: jax.Array, n_cols: int,
                         diag: Optional[jax.Array] = None,
                         block: int = 64, window: int = 256, nw: int = 4,
                         escape_cap: int = 8192, combine: str = "add",
                         window0: Optional[int] = None,
-                        anchors: Optional[jax.Array] = None
+                        anchors: Optional[jax.Array] = None,
+                        align: int = 0
                         ) -> Tuple[BlockDenseOperator, jax.Array]:
     """Build a BlockDenseOperator from (R, K) ELL columns/values/mask.
 
@@ -98,6 +100,11 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
     columns.  Returns (op, overflow) -- overflow means the escape
     chute is too small (retry with larger nw / escape_cap).  One
     jittable pass; the dense M is built by a single scatter-add.
+
+    ``align`` (e.g. 128) floors every window start to that multiple:
+    required by the Pallas matvec kernel, whose VMEM lane slices must
+    be provably 128-aligned (Mosaic rejects arbitrary lane offsets).
+    Costs slightly more window coverage; semantics otherwise identical.
     """
     if window0 is None:
         window0 = window
@@ -124,20 +131,39 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
     else:
         anchor = (jnp.arange(nblk) * block * ratio).astype(jnp.int32) \
             - (window0 - int(block * ratio)) // 2
-    w0 = jnp.clip(anchor, 0, max(n_cols - window0, 0))
+    if align:
+        assert align <= window, "alignment must not exceed window width"
+        # x is padded past n_cols by the matvec, so w0 may run off the
+        # right edge; clipping to n_cols - window0 would shift it off
+        # its columns instead.
+        w0 = jnp.clip(anchor, 0, max(n_cols - 1, 0))
+        w0 = (w0 // align) * align
+    else:
+        w0 = jnp.clip(anchor, 0, max(n_cols - window0, 0))
     starts = [w0]
     remaining = jnp.where((bc >= w0[:, None])
                           & (bc < w0[:, None] + window0), imax, bc)
     for _ in range(nw - 1):
         s = jnp.min(remaining, axis=1)
+        if align:
+            # Flooring keeps coverage: s_al <= s = min(remaining) and
+            # s - s_al < align <= window, so the window still covers s.
+            s = jnp.where(s < imax, (s // align) * align, s)
         starts.append(s)
         remaining = jnp.where(remaining < s[:, None] + window, imax,
                               remaining)
     win_start = jnp.stack(starts, axis=1)
-    widths = np.array([window0] + [window] * (nw - 1), np.int32)
-    lims = jnp.asarray(np.maximum(n_cols - widths, 0))[None, :]
-    win_start = jnp.where(win_start > n_cols - 1, 0,
-                          jnp.minimum(win_start, lims))
+    if align:
+        # No right-edge clipping needed: the matvec pads x by
+        # max(window, window0) zeros, so any aligned start <= n_cols-1
+        # slices in-bounds; clipping would shift windows off their
+        # columns and inflate the escape chute.
+        win_start = jnp.where(win_start > n_cols - 1, 0, win_start)
+    else:
+        widths = np.array([window0] + [window] * (nw - 1), np.int32)
+        lims = jnp.asarray(np.maximum(n_cols - widths, 0))[None, :]
+        win_start = jnp.where(win_start > n_cols - 1, 0,
+                              jnp.minimum(win_start, lims))
     win_start = jnp.maximum(win_start, 0).astype(jnp.int32)
 
     rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None],

@@ -39,11 +39,21 @@ class SolverLevel(NamedTuple):
     utw: Optional["BlockDenseOperator"] = None      # U^T   # noqa: F821
 
 
+def apply_fast(op, x: jax.Array) -> jax.Array:
+    """Dispatch a fast-form operator (uniform block-dense or bucketed
+    slab) on a 1-D vector."""
+    from gravomg_tpu.ops.blockdense import (BlockDenseOperator,
+                                            blockdense_matvec)
+    from gravomg_tpu.ops.slab import SlabOperator, slab_matvec
+    if isinstance(op, SlabOperator):
+        return slab_matvec(op, x)
+    return blockdense_matvec(op, x)
+
+
 def level_matvec(level: SolverLevel, x: jax.Array) -> jax.Array:
     """A_l @ x through the fastest available representation."""
     if level.banded is not None and x.ndim == 1:
-        from gravomg_tpu.ops.blockdense import blockdense_matvec
-        return blockdense_matvec(level.banded, x)
+        return apply_fast(level.banded, x)
     return spmv(level.op, x)
 
 
@@ -67,7 +77,6 @@ def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
     """One V(pre, post) cycle on the finest level."""
     from gravomg_tpu.prolong.operator import (prolong, restrict,
                                               restrict_gather)
-    from gravomg_tpu.ops.blockdense import blockdense_matvec
 
     one_d = x.ndim == 1
 
@@ -81,14 +90,14 @@ def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
         else:
             r = b - spmv(level.op, x)
         if level.utw is not None and one_d:
-            rc = blockdense_matvec(level.utw, r)
+            rc = apply_fast(level.utw, r)
         elif level.ut is not None:
             rc = restrict_gather(level.ut, r)
         else:
             rc = restrict(level.u, r)
         ec = descend(lvl + 1, jnp.zeros_like(rc), rc)
         if level.uw is not None and one_d:
-            x = x + blockdense_matvec(level.uw, ec)
+            x = x + apply_fast(level.uw, ec)
         else:
             x = x + prolong(level.u, ec)
         return _smooth(level, x, b, cfg.post_smooth, cfg)
@@ -167,6 +176,12 @@ def attach_fast_operators(h: SolverHierarchy,
         new = lvl
         v = lvl.op.num_vertices
         blk = min(block, max(v // 8, 8))
+        if (new.banded is not None or new.uw is not None
+                or new.utw is not None):
+            # Already populated (e.g. by attach_slab_operators for the
+            # large levels) -- leave as-is.
+            levels.append(new)
+            continue
         if li < len(h.levels) - 1:
             # Diagonal band: block +- 2*block covers the near spread.
             w0 = min(-(-3 * blk // 128) * 128, v)
@@ -209,19 +224,77 @@ def attach_fast_operators(h: SolverHierarchy,
     return h._replace(levels=tuple(levels))
 
 
+def attach_slab_operators(h: SolverHierarchy,
+                          block: int = 8, window: int = 128,
+                          dtype=None, use_pallas: Optional[bool] = None,
+                          min_rows: int = 4096,
+                          escape_cap: int = 65536) -> SolverHierarchy:
+    """Populate bucketed variable-window (slab) operator forms on every
+    level large enough to profit (ops/slab.py).
+
+    The uniform block-dense format must size every block for the p99
+    window-count tail (measured ~13 windows vs a median of ~3 at 200k,
+    scripts/analyze_spread.py), streaming ~1.1 GB per level-0 matvec at
+    ~1% density; the slab form pays only for the windows each block
+    needs (~280 MB).  Levels below ``min_rows`` keep whatever they have
+    -- run :func:`attach_fast_operators` afterwards to fill those with
+    uniform forms (it skips already-populated levels).
+
+    Host-interactive (syncs per-block window counts); call post
+    ``check_diagnostics``/``compact_solver`` like attach_fast_operators.
+    Requires a spatially (Morton) ordered hierarchy.
+    """
+    from gravomg_tpu.ops.slab import slab_from_ell, slab_from_operator
+    from gravomg_tpu.types import INVALID_INDEX
+
+    levels = []
+    for li, lvl in enumerate(h.levels):
+        new = lvl
+        v = lvl.op.num_vertices
+        if li < len(h.levels) - 1 and v >= min_rows:
+            new = new._replace(banded=slab_from_operator(
+                lvl.op, block=block, window=window,
+                escape_cap=escape_cap, dtype=dtype,
+                use_pallas=use_pallas))
+        if lvl.u is not None and lvl.u.n_fine >= min_rows \
+                and lvl.u.n_coarse >= window:
+            u = lvl.u
+            new = new._replace(uw=slab_from_ell(
+                u.cols, u.weights, jnp.ones_like(u.cols, bool),
+                u.n_coarse, block=block, window=window,
+                escape_cap=escape_cap, dtype=dtype,
+                use_pallas=use_pallas))
+        if lvl.ut is not None and lvl.ut.n_coarse >= min_rows:
+            rt = lvl.ut
+            vmask = rt.rows != INVALID_INDEX
+            new = new._replace(utw=slab_from_ell(
+                rt.safe_rows(), rt.weights, vmask, rt.n_fine,
+                block=block, window=window, escape_cap=escape_cap,
+                dtype=dtype, use_pallas=use_pallas))
+        levels.append(new)
+    return h._replace(levels=tuple(levels))
+
+
 def cast_fast_operators(h: SolverHierarchy, dtype) -> SolverHierarchy:
     """Cheap copy of a fast-operator hierarchy with the dense window
     matrices cast to ``dtype`` (e.g. bf16 for preconditioner duty;
     halves the dominant M-streaming cost).  Diagonals, escape chutes,
     and the exact ELL operators keep their precision."""
+    from gravomg_tpu.ops.slab import SlabOperator
+
+    def cast(bop):
+        if isinstance(bop, SlabOperator):
+            return bop._replace(buckets=tuple(
+                b._replace(m=b.m.astype(dtype)) for b in bop.buckets))
+        return bop._replace(m=bop.m.astype(dtype))
+
     levels = []
     for lvl in h.levels:
         new = lvl
         for field in ("banded", "uw", "utw"):
             bop = getattr(lvl, field)
             if bop is not None:
-                new = new._replace(**{field: bop._replace(
-                    m=bop.m.astype(dtype))})
+                new = new._replace(**{field: cast(bop)})
         levels.append(new)
     return h._replace(levels=tuple(levels))
 

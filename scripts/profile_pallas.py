@@ -73,13 +73,12 @@ GEOMS = [
     # (block, window, nw, window0)  -- round-2 default first
     (256, 128, 6, 768),
     (64, 128, 10, 384),
-    (32, 128, 11, 384),
 ]
 
 for blk, win, nw, w0 in GEOMS:
     bop, ovf = blockdense_from_operator(
         spd, block=blk, window=win, nw=nw, escape_cap=200_000,
-        window0=w0)
+        window0=w0, align=128)
     nblk, _, nww = bop.m.shape
     mb = bop.m.size * 4 / 1e6
     n_esc = int(jnp.sum(bop.esc_rows < bop.n_rows))
@@ -95,3 +94,27 @@ for blk, win, nw, w0 in GEOMS:
     ideal = mb / 819e3
     print(f"  xla={t_x:.3f}ms pallas={t_p:.3f}ms ideal={ideal:.3f}ms "
           f"rel_err={err:.2e}", flush=True)
+
+
+# Bucketed variable-window form (ops/slab.py): XLA vs Pallas per bucket.
+from gravomg_tpu.ops.slab import slab_from_operator, slab_matvec
+
+for blk in (8, 16, 32):
+    sop = slab_from_operator(spd, block=blk, window=128,
+                             escape_cap=65536)
+    mb = sop.m_bytes / 1e6
+    progs = sum(b.m.shape[0] for b in sop.buckets)
+    print(f"slab blk={blk}: M={mb:.0f}MB programs={progs} buckets="
+          f"{[(b.m.shape[0], b.nw) for b in sop.buckets]}", flush=True)
+    y_x = slab_matvec(sop, x, pallas=False)
+    y_p = slab_matvec(sop, x, pallas=True)
+    y_u = blockdense_matvec(bop, x)
+    err = float(jnp.max(jnp.abs(y_x - y_u))
+                / jnp.maximum(jnp.max(jnp.abs(y_u)), 1e-30))
+    errp = float(jnp.max(jnp.abs(y_p - y_u))
+                 / jnp.maximum(jnp.max(jnp.abs(y_u)), 1e-30))
+    t_x = slope_ms(lambda o, v: slab_matvec(o, v, pallas=False), (x, sop))
+    t_p = slope_ms(lambda o, v: slab_matvec(o, v, pallas=True), (x, sop))
+    ideal = mb / 819e3
+    print(f"  xla={t_x:.3f}ms pallas={t_p:.3f}ms ideal={ideal:.3f}ms "
+          f"err_xla={err:.2e} err_pallas={errp:.2e}", flush=True)
