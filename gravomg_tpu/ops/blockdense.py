@@ -63,6 +63,7 @@ class BlockDenseOperator(NamedTuple):
     block: int
     window: int
     window0: int
+    align: int = 0      # static: window starts are multiples of this
 
     @property
     def nw(self) -> int:
@@ -72,7 +73,8 @@ class BlockDenseOperator(NamedTuple):
 jax.tree_util.register_pytree_node(
     BlockDenseOperator,
     lambda op: (tuple(op[:6]),
-                (op.n_rows, op.n_cols, op.block, op.window, op.window0)),
+                (op.n_rows, op.n_cols, op.block, op.window, op.window0,
+                 op.align)),
     lambda aux, ch: BlockDenseOperator(*ch, *aux),
 )
 
@@ -219,14 +221,56 @@ def blockdense_from_ell(cols: jax.Array, vals: jax.Array,
                                esc_rows=esc_rows, esc_cols=esc_cols,
                                esc_w=esc_w, n_rows=r, n_cols=n_cols,
                                block=block, window=window,
-                               window0=window0),
+                               window0=window0, align=align),
             overflow)
 
 
+def trim_escape(op: BlockDenseOperator,
+                align: int = 128) -> BlockDenseOperator:
+    """Host-level: slice the escape COO down to its actual fill
+    (rounded up to ``align`` slots; sorted padding sits at the tail).
+
+    The jittable build pads the chute to a static ``escape_cap``; a
+    64k-slot chute costs ~0.7 ms of gather+segment-sum per matvec at
+    the measured ~10 ns/element regardless of fill, which dominated
+    the slab matvec (per-bucket caps summed to 655k slots carrying a
+    few thousand entries).  Syncs one scalar -- call only from the
+    host-interactive attach phase, never under jit.
+    """
+    if not op.esc_rows.shape[0]:
+        return op
+    n = int(jnp.sum(op.esc_rows < op.n_rows))
+    cap = 0 if n == 0 else min(-(-n // align) * align,
+                               op.esc_rows.shape[0])
+    if cap == op.esc_rows.shape[0]:
+        return op
+    return op._replace(esc_rows=op.esc_rows[:cap],
+                       esc_cols=op.esc_cols[:cap],
+                       esc_w=op.esc_w[:cap])
+
+
 def _gather_windows(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
-    """(NBLK, 1, NWW) concatenated window contents of x."""
+    """(NBLK, 1, NWW) concatenated window contents of x.
+
+    Aligned operators (align=128) gather ROWS of a (NSEG, 128) 2-D view
+    of x instead of vmapped 1-D dynamic slices: the row-gather form is
+    the one XLA TPU lowers at ~7.5 ns/row (measured, PROGRESS.md),
+    while the 1-D slice form degrades ~40x at small blocks."""
     nblk, nw = op.win_start.shape
     win, win0 = op.window, op.window0
+    if op.align == 128:
+        pad = -(-(x.shape[0] + max(win, win0)) // 128) * 128 - x.shape[0]
+        x2 = jnp.pad(x, (0, pad)).reshape(-1, 128)
+        offs = []
+        for wi in range(nw):
+            w = win0 if wi == 0 else win
+            offs.append(jnp.arange(w // 128, dtype=op.win_start.dtype))
+        # (NBLK, NSEG_TOTAL) segment rows for every 128-wide piece.
+        segs = jnp.concatenate(
+            [op.win_start[:, wi:wi + 1] // 128 + offs[wi][None, :]
+             for wi in range(nw)], axis=1)
+        wins = x2[segs.reshape(-1)].reshape(nblk, 1, -1)
+        return wins
     xw = jnp.pad(x, (0, max(win, win0)))
     w0 = jax.vmap(lambda s: jax.lax.dynamic_slice(xw, (s,), (win0,)))(
         op.win_start[:, 0])

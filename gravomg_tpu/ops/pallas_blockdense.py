@@ -40,8 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gravomg_tpu.ops.blockdense import BlockDenseOperator
 
 
-def _matvec_kernel(ws_ref, x_ref, m_ref, o_ref, *, nw: int, window: int,
-                   window0: int, acc_dtype, blk: int, group: int):
+def _matvec_kernel(ws_ref, x_ref, m_ref, o_ref, scr_ref, *, nw: int,
+                   window: int, window0: int, acc_dtype, blk: int,
+                   group: int):
     """``group`` row blocks per program: gather each block's NW window
     slices of x, multiply into its dense window matrix, lane-reduce.
 
@@ -59,14 +60,24 @@ def _matvec_kernel(ws_ref, x_ref, m_ref, o_ref, *, nw: int, window: int,
         off = 0
         for wi in range(nw):
             w = window0 if wi == 0 else window
-            s = pl.multiple_of(ws_ref[i * nw + wi], 128)
-            xs = x_ref[0:1, pl.ds(s, w)]                    # (1, w)
-            prod = (m_ref[t, :, off:off + w].astype(acc_dtype)
-                    * xs.astype(acc_dtype))
-            part = jnp.sum(prod, axis=1, keepdims=True)      # (BLK, 1)
-            acc = part if acc is None else acc + part
-            off += w
-        o_ref[pl.ds(i, 1), :] = acc.T.astype(o_ref.dtype)
+            # ws_ref holds SEGMENT rows (start // 128): x is laid out
+            # (NSEG, 128) so a window is a dynamic SUBLANE slice --
+            # plain address arithmetic in Mosaic, unlike dynamic lane
+            # slices which lower to expensive rotates.
+            sr = ws_ref[i * nw + wi]
+            for k in range(w // 128):
+                xseg = x_ref[pl.ds(sr + k, 1), :]           # (1, 128)
+                xb = jnp.broadcast_to(xseg, (blk, 128)).astype(acc_dtype)
+                prod = m_ref[t, :, off:off + 128].astype(acc_dtype) * xb
+                acc = prod if acc is None else acc + prod
+                off += 128
+        # Lane-reduce into a STATIC scratch column: t is a Python-loop
+        # constant, so this write needs no relayout.  The expensive
+        # (BLK, G) -> (G, BLK) relayout happens once per program below
+        # instead of once per block (group x fewer).
+        scr_ref[:, t:t + 1] = jnp.sum(acc, axis=1, keepdims=True)
+    j0 = j * group
+    o_ref[pl.ds(j0, group), :] = scr_ref[:].T.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group"))
@@ -85,6 +96,9 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
     nblk, blk, nww = op.m.shape
     nw = op.nw
     win, win0 = op.window, op.window0
+    if win % 128 or win0 % 128:
+        raise ValueError("pallas matvec needs 128-multiple window "
+                         "widths (build with align=128)")
     r = op.n_rows
     acc = jnp.promote_types(op.m.dtype, jnp.float32)
     if group <= 0:
@@ -95,7 +109,7 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
         group -= 1
 
     pad = -(-(x.shape[0] + max(win, win0)) // 128) * 128 - x.shape[0]
-    xp = jnp.pad(x, (0, pad))[None, :]                       # (1, NCp)
+    xp = jnp.pad(x, (0, pad)).reshape(-1, 128)               # (NSEG, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -106,6 +120,7 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
                          memory_space=pltpu.VMEM),           # M blocks
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((blk, group), acc)],
     )
     y = pl.pallas_call(
         functools.partial(_matvec_kernel, nw=nw, window=win,
@@ -114,7 +129,7 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, blk), x.dtype),
         interpret=interpret,
-    )(op.win_start.reshape(-1), xp, op.m)
+    )(op.win_start.reshape(-1) // 128, xp, op.m)
 
     y = y.reshape(-1)[:r]
     if op.esc_w.shape[0]:
@@ -125,3 +140,82 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
     if op.diag is not None:
         y = y + op.diag * x
     return y
+
+
+# ---------------------------------------------------------------------------
+# MXU variant: 128-row blocks, transposed 128x128 segment tiles.
+#
+# The VPU formulation above bottoms out at ~0.3 us per row block no
+# matter the layout -- each block needs its own slice/broadcast/
+# multiply/reduce chain of tiny (8, 128) ops, and Mosaic's per-op cost
+# dominates.  Reformulating per segment as
+#     y_block(1,128) += x_seg(1,128) @ M_seg^T(128,128)
+# turns the whole chain into ONE MXU op per (block, segment) with all
+# operands and results in natural lane-major layout: no broadcasts, no
+# lane reductions, no relayouts.  M streams through the MXU at memory
+# bandwidth; x rows are dynamic SUBLANE slices of the (NSEG, 128) x
+# view.  This is the hot kernel of the framework.
+# ---------------------------------------------------------------------------
+
+
+def _mxu_kernel(sr_ref, x_ref, mt_ref, o_ref, scr_ref, *, nseg: int,
+                group: int, acc_dtype):
+    j = pl.program_id(0)
+    for t in range(group):
+        i = j * group + t
+        acc = None
+        for s in range(nseg):
+            xr = x_ref[pl.ds(sr_ref[i * nseg + s], 1), :]    # (1, 128)
+            p = jax.lax.dot_general(
+                xr.astype(mt_ref.dtype), mt_ref[t, s],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype)            # (1, 128)
+            acc = p if acc is None else acc + p
+        scr_ref[t:t + 1, :] = acc
+    o_ref[pl.ds(j * group, group), :] = scr_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
+                                             "group"))
+def mxu_matvec_pallas(mt: jax.Array, seg_rows: jax.Array, x: jax.Array,
+                      n_rows: int, interpret: bool = False,
+                      group: int = 0) -> jax.Array:
+    """y = A x for the transposed-tile form.
+
+    mt:       (NBLK, NSEG, 128, 128) -- mt[b, s, l, r] = A[b*128 + r,
+              seg_col(b, s)*128 + l]; zero where no entry.
+    seg_rows: (NBLK, NSEG) int32 -- segment index into the (NSEG0, 128)
+              view of x for each tile (any value pointing at zero-pad
+              for unused tiles).
+    Returns (NBLK*128,)[:n_rows].
+    """
+    nblk, nseg = seg_rows.shape
+    acc = jnp.promote_types(mt.dtype, jnp.float32)
+    if group <= 0:
+        group = max(1, min(nblk, (1 << 20) // max(nseg * 65536, 1)))
+    while nblk % group:
+        group -= 1
+
+    pad = -(-(x.shape[0] + 128) // 128) * 128 - x.shape[0]
+    xp = jnp.pad(x, (0, pad)).reshape(-1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # x view
+            pl.BlockSpec((group, nseg, 128, 128),
+                         lambda j, sr: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # tiles
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((group, 128), acc)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_mxu_kernel, nseg=nseg, group=group,
+                          acc_dtype=acc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, 128), x.dtype),
+        interpret=interpret,
+    )(seg_rows.reshape(-1), xp, mt)
+    return y.reshape(-1)[:n_rows]

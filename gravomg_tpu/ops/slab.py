@@ -37,7 +37,7 @@ import numpy as np
 
 from gravomg_tpu.ops.blockdense import (BlockDenseOperator,
                                         blockdense_from_ell,
-                                        blockdense_matvec)
+                                        blockdense_matvec, trim_escape)
 
 
 class SlabOperator(NamedTuple):
@@ -50,6 +50,7 @@ class SlabOperator(NamedTuple):
     n_cols: int
     block: int
     use_pallas: bool = True         # static: kernel choice per bucket
+    mxu: bool = False               # static: transposed-tile MXU form
 
     @property
     def m_bytes(self) -> int:
@@ -59,7 +60,7 @@ class SlabOperator(NamedTuple):
 jax.tree_util.register_pytree_node(
     SlabOperator,
     lambda op: ((op.diag, op.buckets, op.inv_block_perm),
-                (op.n_rows, op.n_cols, op.block, op.use_pallas)),
+                (op.n_rows, op.n_cols, op.block, op.use_pallas, op.mxu)),
     lambda aux, ch: SlabOperator(*ch, *aux),
 )
 
@@ -106,14 +107,24 @@ def slab_from_ell(cols: jax.Array, vals: jax.Array, valid: jax.Array,
                   block: int = 8, window: int = 128, nw_max: int = 24,
                   escape_cap: int = 4096, dtype=None,
                   align: int = 128,
-                  use_pallas: Optional[bool] = None) -> SlabOperator:
+                  use_pallas: Optional[bool] = None,
+                  mxu: bool = False) -> SlabOperator:
     """Build a SlabOperator from (R, K) ELL columns/values/mask.
 
     Host-interactive (syncs the per-block window counts); call after
     the device-resident build phase, like attach_fast_operators.
     Raises if nw_max windows cannot cover some block (pathological
     ordering) -- fall back to the uniform format in that case.
+
+    ``mxu=True`` selects the transposed-tile MXU form (forces
+    block=128, window=128): each (block, segment) is stored as a
+    128x128 tile mt[s, l, r] = A[row r, seg*128 + l] so the matvec is
+    one (1,128)@(128,128) MXU op per tile -- the VPU form bottoms out
+    at ~0.3 us/block of Mosaic per-op overhead regardless of geometry
+    (measured at 200k), while MXU tiles stream at memory bandwidth.
     """
+    if mxu:
+        block, window, align = 128, 128, 128
     r, k = cols.shape
     if vals is not None:
         valid = valid & (vals != 0.0)
@@ -179,6 +190,15 @@ def slab_from_ell(cols: jax.Array, vals: jax.Array, valid: jax.Array,
         if bool(b_ovf):
             raise ValueError("slab_from_ell: escape overflow in bucket "
                              f"cap={cap} (escape_cap={escape_cap})")
+        # Static escape_cap slots would cost ~10 ns each per matvec
+        # even when empty; slice to the actual fill (host sync, fine
+        # here -- this whole builder is host-interactive).
+        bop = trim_escape(bop)
+        if mxu:
+            # (NB, 128, cap*128) row-major -> (NB, cap, 128, 128)
+            # transposed tiles [b, s, l, r]; one-time conversion copy.
+            mt = bop.m.reshape(nbp, 128, cap, 128).transpose(0, 2, 3, 1)
+            bop = bop._replace(m=mt)
         if dtype is not None:
             bop = bop._replace(m=bop.m.astype(dtype))
         buckets.append(bop)
@@ -193,7 +213,34 @@ def slab_from_ell(cols: jax.Array, vals: jax.Array, valid: jax.Array,
     return SlabOperator(diag=diag, buckets=tuple(buckets),
                         inv_block_perm=jnp.asarray(inv), n_rows=r,
                         n_cols=n_cols, block=block,
-                        use_pallas=bool(use_pallas))
+                        use_pallas=bool(use_pallas), mxu=mxu)
+
+
+def _bucket_escape(b: BlockDenseOperator, y: jax.Array,
+                   x: jax.Array) -> jax.Array:
+    """Apply a bucket's sorted-COO escape chute to its flat output."""
+    if not b.esc_w.shape[0]:
+        return y
+    r = y.shape[0]
+    contrib = b.esc_w * x[jnp.minimum(b.esc_cols, b.n_cols - 1)]
+    return y + jax.ops.segment_sum(
+        contrib.astype(x.dtype), jnp.minimum(b.esc_rows, r),
+        num_segments=r + 1, indices_are_sorted=True)[:r]
+
+
+def _mxu_bucket_matvec_xla(b: BlockDenseOperator, x: jax.Array
+                           ) -> jax.Array:
+    """XLA fallback for a transposed-tile bucket (CPU tests, virtual
+    meshes): gather the segment rows, contract with the tiles."""
+    nb, k, _, _ = b.m.shape
+    segs = b.win_start // 128                             # (nb, k)
+    pad = -(-(x.shape[0] + 128) // 128) * 128 - x.shape[0]
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    wins = x2[segs]                                       # (nb, k, 128)
+    y = jnp.einsum("bkl,bklr->br", wins.astype(b.m.dtype), b.m,
+                   preferred_element_type=jnp.promote_types(
+                       b.m.dtype, jnp.float32)).astype(x.dtype)
+    return _bucket_escape(b, y.reshape(-1), x)
 
 
 def slab_matvec(op: SlabOperator, x: jax.Array,
@@ -201,7 +248,18 @@ def slab_matvec(op: SlabOperator, x: jax.Array,
     """y = A x via per-bucket kernels + block-level un-permutation."""
     if pallas is None:
         pallas = op.use_pallas
-    if pallas:
+    if op.mxu:
+        if pallas:
+            from gravomg_tpu.ops.pallas_blockdense import \
+                mxu_matvec_pallas
+
+            def bucket_mv(b, v):
+                y = mxu_matvec_pallas(b.m, b.win_start // 128, v,
+                                      b.m.shape[0] * 128)
+                return _bucket_escape(b, y, v)
+        else:
+            bucket_mv = _mxu_bucket_matvec_xla
+    elif pallas:
         from gravomg_tpu.ops.pallas_blockdense import \
             blockdense_matvec_pallas as bucket_mv
     else:

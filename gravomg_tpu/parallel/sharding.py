@@ -81,6 +81,131 @@ def pad_solver_fine_level(h: SolverHierarchy, mult: int) -> SolverHierarchy:
     return h._replace(levels=(new_lvl,) + h.levels[1:])
 
 
+def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
+    """Pad EVERY level but the coarsest to a vertex count divisible by
+    ``mult`` so the whole V-cycle shards evenly (VERDICT r2 task 8: the
+    finest-level-only padding demonstrated layouts, not scaling).
+
+    Padded rows are decoupled identity rows (diag 1, no neighbors);
+    padded prolongation rows carry zero weights; padded restriction
+    rows are INVALID (yield exact 0).  Zero is a fixed point of every
+    padded row under smoothing/transfer, so the solve is bit-unchanged
+    on the real rows.  The coarsest level keeps its exact size: its
+    dense Cholesky factor is replicated anyway.
+
+    Fast-form (block-dense / slab) operators are dropped: their window
+    geometry is single-chip; the sharded path runs the ELL forms whose
+    gathers XLA turns into all-gather + local gather.
+    """
+    from gravomg_tpu.types import INVALID_INDEX
+
+    nlev = len(h.levels)
+    new_v = [(-(-lvl.op.num_vertices // mult) * mult
+              if li < nlev - 1 else lvl.op.num_vertices)
+             for li, lvl in enumerate(h.levels)]
+    levels = []
+    for li, lvl in enumerate(h.levels):
+        v, vp = lvl.op.num_vertices, new_v[li]
+        op = lvl.op
+        if vp > v:
+            op = op._replace(
+                neighbors=pad_axis(op.neighbors, mult,
+                                   fill=INVALID_INDEX),
+                offdiag=pad_axis(op.offdiag, mult, fill=0),
+                diag=pad_axis(op.diag, mult, fill=1.0),
+            )
+        u = lvl.u
+        if u is not None:
+            cols, w = u.cols, u.weights
+            if vp > v:
+                cols = pad_axis(cols, mult, fill=0)
+                w = pad_axis(w, mult, fill=0.0)
+            u = u._replace(cols=cols, weights=w, n_coarse=new_v[li + 1])
+        ut = lvl.ut
+        if ut is not None:
+            rows, w = ut.rows, ut.weights
+            if new_v[li + 1] > ut.rows.shape[0]:
+                pad = new_v[li + 1] - ut.rows.shape[0]
+                rows = jnp.pad(rows, ((0, pad), (0, 0)),
+                               constant_values=INVALID_INDEX)
+                w = jnp.pad(w, ((0, pad), (0, 0)), constant_values=0.0)
+            ut = ut._replace(rows=rows, weights=w, n_fine=vp)
+        levels.append(lvl._replace(op=op, u=u, ut=ut,
+                                   banded=None, uw=None, utw=None))
+    return h._replace(levels=tuple(levels))
+
+
+def shard_solver(h: SolverHierarchy, mesh: Mesh,
+                 axis: str = "data") -> SolverHierarchy:
+    """Lay a padded hierarchy out over the mesh: every level's operator
+    rows, prolongation rows, and restriction rows sharded over
+    ``axis``; the coarsest operator and its Cholesky factor replicated.
+
+    Call :func:`pad_solver_levels` first (every non-coarsest level's
+    vertex count must divide the mesh size).  Vectors produced inside a
+    jitted solve inherit these layouts through XLA sharding
+    propagation; dot products become psums on ICI (scaling-book
+    recipe: annotate inputs, let XLA place the collectives).
+    """
+    nd = mesh.devices.size
+    row = NamedSharding(mesh, P(axis))
+    row2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    levels = []
+    for li, lvl in enumerate(h.levels):
+        last = li == len(h.levels) - 1
+        ok = lvl.op.num_vertices % nd == 0 and not last
+        op = lvl.op
+        op = op._replace(
+            neighbors=put(op.neighbors, row2 if ok else rep),
+            offdiag=put(op.offdiag, row2 if ok else rep),
+            diag=put(op.diag, row if ok else rep))
+        u = lvl.u
+        if u is not None:
+            uok = u.cols.shape[0] % nd == 0
+            u = u._replace(cols=put(u.cols, row2 if uok else rep),
+                           weights=put(u.weights, row2 if uok else rep))
+        ut = lvl.ut
+        if ut is not None:
+            tok = ut.rows.shape[0] % nd == 0
+            ut = ut._replace(rows=put(ut.rows, row2 if tok else rep),
+                             weights=put(ut.weights,
+                                         row2 if tok else rep))
+        cheb = lvl.cheb
+        if cheb is not None:
+            cheb = jax.tree.map(lambda a: put(a, rep), cheb)
+        levels.append(lvl._replace(op=op, u=u, ut=ut, cheb=cheb))
+    return h._replace(levels=tuple(levels),
+                      coarse_chol=put(h.coarse_chol, rep))
+
+
+def sharded_solve(h: SolverHierarchy, b: jax.Array,
+                  cfg: MultigridConfig, mesh: Mesh, axis: str = "data",
+                  method: str = "mg_pcg"):
+    """Full MG-preconditioned CG solve to ``cfg.tolerance`` with every
+    level vertex-sharded over the mesh (VERDICT r2 task 8's converged
+    sharded solve, not a single step).
+
+    ``h`` must come from pad_solver_levels + shard_solver; ``b`` is the
+    UNPADDED right-hand side.  Returns (x[:n], rel, iters).
+    """
+    from gravomg_tpu.solve.cg import mg_fcg, mg_pcg
+
+    fn = {"mg_pcg": mg_pcg, "mg_fcg": mg_fcg}[method]
+    n = b.shape[0]
+    vp = h.levels[0].op.num_vertices
+    vspec = NamedSharding(mesh, P(axis))
+    bp = jnp.zeros((vp,), b.dtype).at[:n].set(b)
+    bp = jax.device_put(bp, vspec)
+    with mesh:
+        x, rel, it = fn(h, bp, cfg)
+    return x[:n], rel, it
+
+
 def batched_vcycle(h: SolverHierarchy, cfg: MultigridConfig, mesh: Mesh,
                    axis: str = "data"):
     """Return a jitted function solving a sharded batch of RHS with one

@@ -160,6 +160,7 @@ def attach_fast_operators(h: SolverHierarchy,
     from gravomg_tpu.types import INVALID_INDEX
 
     def convert(build, *args, start_nw, start_cap, **kw):
+        from gravomg_tpu.ops.blockdense import trim_escape
         cur_nw, cap = start_nw, start_cap
         while True:
             bop, ovf = build(*args, nw=cur_nw, escape_cap=cap, **kw)
@@ -167,6 +168,9 @@ def attach_fast_operators(h: SolverHierarchy,
                 break
             cur_nw = min(cur_nw + 2, 24)
             cap = cap * 4
+        # Drop empty chute padding: static escape slots cost ~10 ns
+        # each per matvec whether filled or not (host sync, fine here).
+        bop = trim_escape(bop)
         if dtype is not None:
             bop = bop._replace(m=bop.m.astype(dtype))
         return bop
@@ -228,7 +232,8 @@ def attach_slab_operators(h: SolverHierarchy,
                           block: int = 8, window: int = 128,
                           dtype=None, use_pallas: Optional[bool] = None,
                           min_rows: int = 4096,
-                          escape_cap: int = 65536) -> SolverHierarchy:
+                          escape_cap: int = 65536,
+                          mxu: bool = False) -> SolverHierarchy:
     """Populate bucketed variable-window (slab) operator forms on every
     level large enough to profit (ops/slab.py).
 
@@ -243,34 +248,54 @@ def attach_slab_operators(h: SolverHierarchy,
     Host-interactive (syncs per-block window counts); call post
     ``check_diagnostics``/``compact_solver`` like attach_fast_operators.
     Requires a spatially (Morton) ordered hierarchy.
+
+    ``mxu=True`` selects the transposed-tile MXU form; measured at 200k
+    it streams 3.6x more bytes (128-wide tiles re-densify the tail),
+    runs no faster than the VPU forms (~8 ms), and costs ~1e-3 relative
+    error (MXU f32 inputs round through bf16 passes), so it is off by
+    default and unsuitable for the exact operator.
     """
     from gravomg_tpu.ops.slab import slab_from_ell, slab_from_operator
     from gravomg_tpu.types import INVALID_INDEX
+
+    def convert(build, *args, **kw):
+        # Escape capacity scales with problem size, not a fixed guess;
+        # retry with 4x on overflow (mirrors attach_fast_operators).
+        # Returns None if the slab form can't cover the block windows
+        # (pathological ordering) -- the caller leaves the level for
+        # attach_fast_operators' uniform path.
+        cap = escape_cap
+        for _ in range(4):
+            try:
+                return build(*args, escape_cap=cap, dtype=dtype,
+                             block=block, window=window,
+                             use_pallas=use_pallas, mxu=mxu, **kw)
+            except ValueError as e:
+                if "escape overflow" in str(e):
+                    cap *= 4
+                    continue
+                return None
+        return None
 
     levels = []
     for li, lvl in enumerate(h.levels):
         new = lvl
         v = lvl.op.num_vertices
         if li < len(h.levels) - 1 and v >= min_rows:
-            new = new._replace(banded=slab_from_operator(
-                lvl.op, block=block, window=window,
-                escape_cap=escape_cap, dtype=dtype,
-                use_pallas=use_pallas))
+            new = new._replace(banded=convert(slab_from_operator,
+                                              lvl.op))
         if lvl.u is not None and lvl.u.n_fine >= min_rows \
                 and lvl.u.n_coarse >= window:
             u = lvl.u
-            new = new._replace(uw=slab_from_ell(
-                u.cols, u.weights, jnp.ones_like(u.cols, bool),
-                u.n_coarse, block=block, window=window,
-                escape_cap=escape_cap, dtype=dtype,
-                use_pallas=use_pallas))
+            new = new._replace(uw=convert(
+                slab_from_ell, u.cols, u.weights,
+                jnp.ones_like(u.cols, bool), u.n_coarse))
         if lvl.ut is not None and lvl.ut.n_coarse >= min_rows:
             rt = lvl.ut
             vmask = rt.rows != INVALID_INDEX
-            new = new._replace(utw=slab_from_ell(
-                rt.safe_rows(), rt.weights, vmask, rt.n_fine,
-                block=block, window=window, escape_cap=escape_cap,
-                dtype=dtype, use_pallas=use_pallas))
+            new = new._replace(utw=convert(
+                slab_from_ell, rt.safe_rows(), rt.weights, vmask,
+                rt.n_fine))
         levels.append(new)
     return h._replace(levels=tuple(levels))
 

@@ -118,3 +118,28 @@ for blk in (8, 16, 32):
     ideal = mb / 819e3
     print(f"  xla={t_x:.3f}ms pallas={t_p:.3f}ms ideal={ideal:.3f}ms "
           f"err_xla={err:.2e} err_pallas={errp:.2e}", flush=True)
+
+
+# Transposed-tile MXU form: one (1,128)@(128,128) MXU op per segment.
+sop = slab_from_operator(spd, mxu=True, escape_cap=65536)
+mb = sop.m_bytes / 1e6
+nblocks = sum(b.m.shape[0] for b in sop.buckets)
+print(f"mxu: M={mb:.0f}MB blocks={nblocks} buckets="
+      f"{[(b.m.shape[0], b.m.shape[1]) for b in sop.buckets]}", flush=True)
+y_m = slab_matvec(sop, x, pallas=False)
+y_mp = slab_matvec(sop, x, pallas=True)
+y_u = blockdense_matvec(bop, x)
+errx = float(jnp.max(jnp.abs(y_m - y_u))
+             / jnp.maximum(jnp.max(jnp.abs(y_u)), 1e-30))
+errp = float(jnp.max(jnp.abs(y_mp - y_u))
+             / jnp.maximum(jnp.max(jnp.abs(y_u)), 1e-30))
+t_x = slope_ms(lambda o, v: slab_matvec(o, v, pallas=False), (x, sop))
+t_p = slope_ms(lambda o, v: slab_matvec(o, v, pallas=True), (x, sop))
+print(f"  xla={t_x:.3f}ms pallas={t_p:.3f}ms ideal={mb/819e3*1e3:.3f}ms "
+      f"err_xla={errx:.2e} err_pallas={errp:.2e}", flush=True)
+
+# bf16 tiles (preconditioner dtype): halves the stream.
+sop16 = sop._replace(buckets=tuple(
+    b._replace(m=b.m.astype(jnp.bfloat16)) for b in sop.buckets))
+t_p16 = slope_ms(lambda o, v: slab_matvec(o, v, pallas=True), (x, sop16))
+print(f"  bf16 pallas={t_p16:.3f}ms", flush=True)

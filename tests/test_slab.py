@@ -150,3 +150,39 @@ def test_slab_vcycle_matches_plain(rng):
     _, r2, it = g.mg_fcg(sol, b, cfg)
     assert float(r2) < cfg.tolerance
     assert int(it) < 25
+
+
+def test_mxu_slab_matches_uniform(rng):
+    """Transposed-tile MXU form (XLA fallback + interpret-mode Pallas)
+    matches the uniform operator."""
+    r = nc = 2000
+    cols, vals, valid = _tailed_ell(rng, r=r, k=10, nc=nc)
+    diag = rng.normal(size=r).astype(np.float32) + 5
+    x = rng.normal(size=nc).astype(np.float32)
+    sop = slab_from_ell(jnp.asarray(cols), jnp.asarray(vals),
+                        jnp.asarray(valid), nc, diag=jnp.asarray(diag),
+                        mxu=True, use_pallas=False)
+    assert sop.mxu and sop.block == 128
+    uop, ovf = blockdense_from_ell(jnp.asarray(cols), jnp.asarray(vals),
+                                   jnp.asarray(valid), nc,
+                                   diag=jnp.asarray(diag), block=8,
+                                   window=128, nw=14, escape_cap=8192,
+                                   window0=128)
+    assert not bool(ovf)
+    y_u = np.asarray(blockdense_matvec(uop, jnp.asarray(x)))
+    y_m = np.asarray(slab_matvec(sop, jnp.asarray(x)))
+    scale = np.abs(y_u).max()
+    np.testing.assert_allclose(y_m, y_u, atol=2e-6 * scale)
+
+    from gravomg_tpu.ops.pallas_blockdense import mxu_matvec_pallas
+    from gravomg_tpu.ops.slab import _bucket_escape
+    parts = []
+    for b in sop.buckets:
+        y = mxu_matvec_pallas(b.m, b.win_start // 128, jnp.asarray(x),
+                              b.m.shape[0] * 128, interpret=True)
+        parts.append(np.asarray(_bucket_escape(b, y, jnp.asarray(x)))
+                     .reshape(-1, 128))
+    ycat = np.concatenate(parts)
+    y_p = (ycat[np.asarray(sop.inv_block_perm)].reshape(-1)[:r]
+           + diag * x[:r])
+    np.testing.assert_allclose(y_p, y_u, atol=2e-6 * scale)
