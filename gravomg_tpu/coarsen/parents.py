@@ -101,11 +101,12 @@ def _seed_init(graph: Graph, coarse_samples: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "block",
                                              "window", "nw",
-                                             "escape_cap"))
+                                             "escape_cap", "large_v"))
 def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
                       max_sweeps: int = 10_000, block: int = 256,
                       window: int = 512, nw: int = 4,
-                      escape_cap: int | None = None
+                      escape_cap: int | None = None,
+                      large_v: int = 300_000
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Gather-free parent assignment: min-plus block-dense relaxation
     sweeps to the shortest-path fixpoint, then one predecessor argmin
@@ -120,11 +121,25 @@ def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
     from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
                                             blockdense_minplus)
 
+    # Scale-adaptive geometry: the wide uniform windows cost
+    # V * nww * 4 bytes (8.2 GB at 1M with w0=512, w=512, nw=4 -- the
+    # round-3 OOM).  Measured at 1M (scripts/probe_1m_spread.py):
+    # 128-row blocks with w0=256 + 3x128 windows cover 91% of the fine
+    # graph at nww=640 (2.6 GB); the tail rides the escape chute, whose
+    # cap must scale past V (1.56M escapes measured at 1M).  Distances
+    # stay f32: bf16 rounding would desynchronize the min-plus fixpoint
+    # from the f32 predecessor recovery below.
+    if v > large_v:
+        block, window, nw, window0 = 128, 128, 4, 256
+        cap = escape_cap or max(4096, 2 * v)
+    else:
+        window0 = window
+        cap = escape_cap or max(4096, v)
     dmat = jnp.where(graph.mask, graph.distances, jnp.inf)
     bd, ovf = blockdense_from_ell(
         graph.safe_neighbors(), dmat, graph.mask, v, combine="min",
         block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
-        escape_cap=escape_cap or max(4096, v))
+        window0=min(window0, v), escape_cap=cap)
 
     dist0, par0 = _seed_init(graph, coarse_samples)
 

@@ -277,7 +277,8 @@ def conflict_ell(graph: Graph, radius: jax.Array, k_prune: int,
 def fast_disc_sample_bd(graph: Graph, radius, k_prune: int | None = None,
                         kc_cap: int = 96, max_rounds: int = 256,
                         block: int = 256, window: int = 512,
-                        nw: int = 2, escape_cap: int | None = None):
+                        nw: int = 2, escape_cap: int | None = None,
+                        large_v: int = 300_000):
     """Greedy disc sampling via the conflict operator: each lex-first-
     MIS round is two gather-free block-dense matvecs over indicator
     vectors instead of a (V, Kr, Kr) re-gather (~7 ns per gathered
@@ -292,14 +293,23 @@ def fast_disc_sample_bd(graph: Graph, radius, k_prune: int | None = None,
     v = graph.num_vertices
     if k_prune is None:
         k_prune = graph.max_degree
+    # Scale-adaptive geometry + bf16 indicator entries (0/1 exact in
+    # bf16; the matvec accumulates in f32): the uniform wide windows
+    # would cost V * nww * 4 bytes of HBM at 1M (see
+    # fast_disc_sample_priority).
+    if v > large_v:
+        window, nw, window0 = 128, 6, 512
+        kc_cap = max(kc_cap, 256)
+    else:
+        window0 = window
     cols, mask, c_ovf = conflict_ell(graph, radius,
                                      min(k_prune, graph.max_degree),
                                      kc_cap)
-    ones = jnp.ones(cols.shape, jnp.float32)
+    ones = jnp.ones(cols.shape, jnp.bfloat16)
     cbd, b_ovf = blockdense_from_ell(
         cols, ones, mask, v, block=min(block, max(v // 8, 8)),
-        window=min(window, v), nw=nw,
-        escape_cap=escape_cap or max(4096, v // 4))
+        window=min(window, v), nw=nw, window0=min(window0, v),
+        escape_cap=escape_cap or max(4096, v))
 
     def round_body(state):
         status, _, it = state
@@ -333,7 +343,8 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
                               k_prune: int | None = None,
                               kc_cap: int = 192, max_rounds: int = 128,
                               block: int = 256, window: int = 512,
-                              nw: int = 3, escape_cap: int | None = None):
+                              nw: int = 3, escape_cap: int | None = None,
+                              large_v: int = 300_000):
     """Random-priority maximal-independent-set disc sampling (fast mode).
 
     The reference's greedy is the lexicographically-first MIS of the
@@ -350,29 +361,39 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
     Deterministic given ``seed``.  Returns (mask, invalid).
     """
     from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
-                                            blockdense_matvec,
                                             blockdense_minplus)
 
     v = graph.num_vertices
     if k_prune is None:
         k_prune = graph.max_degree
+    # Above ~300k vertices the uniform wide-window geometry stops
+    # fitting HBM (V * nww * 4 bytes: 6.1 GB per operator at 1M with
+    # w0=512, w=512, nw=3 -- the round-3 1M OOM).  Measured coverage at
+    # 1M (scripts/probe_1m_spread.py): w0=512 + 5x128 windows covers
+    # 96.4% of the 2-hop conflict entries at nww=1152; the rest ride
+    # the escape chute (~0.5 V entries, ~10 ns each per round).  The
+    # 2-hop relation is also wider than kc_cap=192 at this scale.
+    if v > large_v:
+        window, nw, window0 = 128, 6, 512
+        kc_cap = max(kc_cap, 256)
+    else:
+        window0 = window
     cols, mask, c_ovf = conflict_ell(graph, radius,
                                      min(k_prune, graph.max_degree),
                                      kc_cap, lower_only=False)
-    ones = jnp.ones(cols.shape, jnp.float32)
-    # The 2-hop conflict columns have a heavier locality tail than the
-    # graph itself (~0.8 V uncovered entries measured at 100k with
-    # window 512); a full-V escape chute costs ~7 ns * V per round --
-    # cheap next to an invalid build.
     cap = escape_cap or max(4096, v)
-    cbd, b_ovf = blockdense_from_ell(
-        cols, ones, mask, v, block=min(block, max(v // 8, 8)),
-        window=min(window, v), nw=nw, escape_cap=cap)
-    zeros = jnp.zeros(cols.shape, jnp.float32)
+    # ONE min-plus operator serves both reductions (the round-2 design
+    # carried a second indicator operator -- 2x the dominant memory):
+    #   min_j (0 + gate_j)  over conflicts, gate = 0 iff selected,
+    # is 0 iff a selected conflict exists, inf otherwise; priorities
+    # reduce the same way.  Entries are exactly 0/inf, so bf16 storage
+    # is EXACT (the tropical add promotes to f32 against the input) and
+    # halves the stream again.
+    zeros = jnp.zeros(cols.shape, jnp.bfloat16)
     cbd_min, m_ovf = blockdense_from_ell(
         cols, zeros, mask, v, combine="min",
         block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
-        escape_cap=cap)
+        window0=min(window0, v), escape_cap=cap)
 
     # Priorities must be pairwise DISTINCT f32 values: above 2^24 a
     # plain float cast collapses permutation values and two conflicting
@@ -388,9 +409,10 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
 
     def round_body(state):
         status, _, it = state
-        a = (status == _SELECTED).astype(jnp.float32)
-        # Rejection: any conflicting selected vertex (priority-free).
-        sel_any = blockdense_matvec(cbd, a) > 0.5
+        # Rejection: any conflicting selected vertex (priority-free) --
+        # min over conflicts of a 0/inf selected gate.
+        gate = jnp.where(status == _SELECTED, 0.0, jnp.inf)
+        sel_any = blockdense_minplus(cbd_min, gate) < jnp.inf
         # Wait condition: a higher-priority (smaller pr) undecided
         # conflict exists -- a min-reduce of undecided priorities over
         # the conflict rows.
@@ -410,7 +432,7 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
     init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
             jnp.int32(0))
     status, _, it = jax.lax.while_loop(cond, round_body, init)
-    invalid = c_ovf | b_ovf | m_ovf | jnp.any(status == _UNDECIDED)
+    invalid = c_ovf | m_ovf | jnp.any(status == _UNDECIDED)
     return status == _SELECTED, invalid
 
 

@@ -47,34 +47,7 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
     nbr = coarse.safe_neighbors()
     m = coarse.mask
     idx = jnp.arange(c, dtype=jnp.int32)
-
-    # Candidate (v0; slot k1 < slot k2).  Rows are ascending, so slot
-    # order == index order and v2 > v1 automatically; the reference's
-    # `vertex_1 < vertex_0 -> skip` (`src/multigrid.cpp:225,232`) reduces
-    # to v1 > v0.
-    v1 = nbr[:, :, None]                               # (C, K, 1)
-    v2 = nbr[:, None, :]                               # (C, 1, K)
-    slot_ok = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])[None]
-    pair_mask = m[:, :, None] & m[:, None, :] & slot_ok
-    pair_mask &= v1 > idx[:, None, None]
-
-    # Adjacency membership: v2 in neighbors(v1)?  (C, K, K) test against
-    # the gathered rows of v1 -> (C, K, K, K) compare, chunked over C.
     raw = coarse.neighbors                             # sorted, INT_MAX pad
-
-    def member_chunk(args):
-        nbrc, rawc, pmc = args          # (cc, K), (cc, K), (cc, K, K)
-        rows_v1 = raw[nbrc]                            # (cc, K, K_inner)
-        # exists[c, k1, k2] = v2 in neighbors(v1), via binary search in
-        # the ascending row of v1 (O(K^2 log K) per vertex instead of
-        # the O(K^3) all-pairs compare).
-        search = jax.vmap(jax.vmap(jnp.searchsorted, in_axes=(0, None)),
-                          in_axes=(0, 0))
-        pos = search(rows_v1, rawc)                    # (cc, K_1, K_2)
-        found = jnp.take_along_axis(rows_v1, jnp.minimum(pos, k - 1),
-                                    axis=2)
-        exists = found == rawc[:, None, :]
-        return pmc & exists
 
     chunk = max(1, min(c, 4096))
     cpad = ((c + chunk - 1) // chunk) * chunk
@@ -83,16 +56,35 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
     # pairs among its higher-indexed neighbors -- bounded by ~K on
     # surface-like graphs.  Keeps all compaction state at (C, cap)
     # instead of a (C, K, K) tensor whose lane padding OOMs at 1M
-    # (measured: 13 GB at C=424k, K=48).
+    # (measured: 13 GB at C=424k, K=48).  The pair mask itself is also
+    # built per chunk: a global (C, K, K) bool tile-pads to ~3.5 GB at
+    # C=400k, K=48 -- the 1M OOM of round 3.
     row_cap = min(2 * k, k * (k - 1) // 2)
 
     def padc(a, fill=0):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                        constant_values=fill)
 
+    slot_ok = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])[None]
+
     def anchored_chunk(args):
-        nbrc, rawc, pmc = args
-        tm = member_chunk((nbrc, rawc, pmc))           # (cc, K, K) bool
+        nbrc, rawc, mc, idxc = args     # (cc, K) x3, (cc,)
+        # Candidate (v0; slot k1 < slot k2).  Rows are ascending, so
+        # slot order == index order and v2 > v1 automatically; the
+        # reference's `vertex_1 < vertex_0 -> skip`
+        # (`src/multigrid.cpp:225,232`) reduces to v1 > v0.
+        pmc = mc[:, :, None] & mc[:, None, :] & slot_ok
+        pmc &= nbrc[:, :, None] > idxc[:, None, None]
+        # Adjacency membership: exists[c, k1, k2] = v2 in
+        # neighbors(v1), via binary search in the ascending row of v1
+        # (O(K^2 log K) per vertex instead of the O(K^3) compare).
+        rows_v1 = raw[nbrc]                            # (cc, K, K_inner)
+        search = jax.vmap(jax.vmap(jnp.searchsorted, in_axes=(0, None)),
+                          in_axes=(0, 0))
+        pos = search(rows_v1, rawc)                    # (cc, K_1, K_2)
+        found = jnp.take_along_axis(rows_v1, jnp.minimum(pos, k - 1),
+                                    axis=2)
+        tm = pmc & (found == rawc[:, None, :])         # (cc, K, K) bool
         # Compact each row's valid (k1, k2) pairs in lex order.
         code = (jnp.arange(k, dtype=jnp.int32)[:, None] * k
                 + jnp.arange(k, dtype=jnp.int32)[None, :])[None]
@@ -105,7 +97,8 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
         anchored_chunk,
         (padc(nbr).reshape(-1, chunk, k),
          padc(raw, 0).reshape(-1, chunk, k),
-         padc(pair_mask, False).reshape(-1, chunk, k, k)))
+         padc(m, False).reshape(-1, chunk, k),
+         padc(idx, 0).reshape(-1, chunk)))
     keys = keys.reshape(cpad, row_cap)[:c]             # (C, row_cap)
     row_counts = row_counts.reshape(cpad)[:c]
     row_overflow = jnp.any(row_counts > row_cap)

@@ -257,3 +257,39 @@ def test_priority_bitcast_distinct_beyond_f32_ints():
     order = np.argsort(vals)
     assert (np.diff(pr[order]) > 0).all()             # monotone
     assert np.isfinite(pr).all() and (pr > 0).all()   # normal floats
+
+
+def test_largev_narrow_geometry_paths_match(rng):
+    """The scale-adaptive narrow-window/bf16 build-operator geometry
+    (engaged above large_v vertices; forced here with large_v=0) is
+    exact: min is order-free, bf16 holds 0/1/inf exactly, and escaped
+    entries combine identically -- so sampling masks and parents match
+    the small-scale wide-geometry path bit-for-bit."""
+    from gravomg_tpu.coarsen.sampling import (fast_disc_sample_bd,
+                                              fast_disc_sample_mask,
+                                              fast_disc_sample_priority)
+    from gravomg_tpu.coarsen.parents import (assign_parents,
+                                             assign_parents_bd)
+    from gravomg_tpu.geometry.order import morton_order
+    pts = torus_points(3000, seed=4)
+    pts = pts[morton_order(pts)]
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    r = g.sampling_radius(graph)
+
+    m_ref = np.asarray(fast_disc_sample_mask(graph, r))
+    m_n, inv = fast_disc_sample_bd(graph, r, large_v=0)
+    assert not bool(inv)
+    np.testing.assert_array_equal(np.asarray(m_n), m_ref)
+
+    m_w, _ = fast_disc_sample_priority(graph, r, seed=3)
+    m_p, inv = fast_disc_sample_priority(graph, r, seed=3, large_v=0)
+    assert not bool(inv)
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_w))
+
+    samples = jnp.asarray(np.nonzero(m_ref)[0].astype(np.int32))
+    par_ref, dist_ref = assign_parents(graph, samples)
+    par_n, dist_n, ovf = assign_parents_bd(graph, samples, large_v=0)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(dist_n), np.asarray(dist_ref),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(par_n), np.asarray(par_ref))
