@@ -266,9 +266,13 @@ struct LevelGraph {
 };
 
 // One full coarsening step; returns the coarse LevelGraph and fills U.
+// Optionally exports the discrete hierarchy (samples, parents) for
+// cross-implementation compat checks at scale.
 LevelGraph coarsen_level(const LevelGraph& g, double reduction_ratio,
                          int scheme, std::vector<int32_t>& u_cols,
-                         std::vector<double>& u_weights) {
+                         std::vector<double>& u_weights,
+                         std::vector<int32_t>* out_samples = nullptr,
+                         std::vector<int32_t>* out_parents = nullptr) {
     const int64_t v = g.v;
     const int32_t k = g.k;
 
@@ -289,6 +293,8 @@ LevelGraph coarsen_level(const LevelGraph& g, double reduction_ratio,
     std::vector<double> pdist(v);
     gmg_assign_parents(v, k, g.nbr.data(), g.points.data(), samples.data(),
                        nc, parents.data(), pdist.data());
+    if (out_samples) *out_samples = samples;
+    if (out_parents) *out_parents = parents;
 
     // C7 coarse adjacency pattern (only the pattern matters downstream,
     // SURVEY.md §2.1-C7): sorted unique neighbor lists.
@@ -519,6 +525,53 @@ int32_t gmg_build_hierarchy(int64_t v, int32_t k, const int32_t* nbr,
     }
     if (out_u_checksum) *out_u_checksum = checksum;
     return levels;
+}
+
+// Single coarsening step with full export -- the golden-oracle surface
+// for at-scale compat verification (BASELINE: prolongation weights
+// match the reference to 1e-6 given the same hierarchy; the NumPy
+// oracle is exact but too slow past ~10k vertices).
+//
+// Inputs mirror the library layout (see file header).  Outputs:
+//   out_n_samples:  number of selected coarse vertices (<= v)
+//   out_samples:    (v) int32 buffer; first *out_n_samples entries used
+//   out_parents:    (v) int32 fine -> coarse index
+//   out_u_cols:     (v*3) int32; out_u_w: (v*3) f64 (slot-aligned with
+//                   the emission order of `coarsen_level`)
+//   out_cpoints:    (v*3) f64 buffer; first nc*3 used
+//   out_cnbr:       (v*kc_cap) int32 coarse adjacency, kInvalid pad
+// Returns nc, or -1 if some coarse vertex exceeds kc_cap neighbors.
+int32_t gmg_coarsen_level(int64_t v, int32_t k, const int32_t* nbr,
+                          const double* dist, const double* points,
+                          double reduction_ratio, int32_t scheme,
+                          int32_t kc_cap, int64_t* out_n_samples,
+                          int32_t* out_samples, int32_t* out_parents,
+                          int32_t* out_u_cols, double* out_u_w,
+                          double* out_cpoints, int32_t* out_cnbr) {
+    LevelGraph g;
+    g.v = v;
+    g.k = k;
+    g.nbr.assign(nbr, nbr + v * k);
+    g.dist.assign(dist, dist + v * k);
+    g.points.assign(points, points + v * 3);
+
+    std::vector<int32_t> u_cols;
+    std::vector<double> u_weights;
+    std::vector<int32_t> samples, parents;
+    LevelGraph cg = coarsen_level(g, reduction_ratio, scheme, u_cols,
+                                  u_weights, &samples, &parents);
+    if (cg.k > kc_cap) return -1;
+    *out_n_samples = static_cast<int64_t>(samples.size());
+    std::copy(samples.begin(), samples.end(), out_samples);
+    std::copy(parents.begin(), parents.end(), out_parents);
+    std::copy(u_cols.begin(), u_cols.end(), out_u_cols);
+    std::copy(u_weights.begin(), u_weights.end(), out_u_w);
+    std::copy(cg.points.begin(), cg.points.end(), out_cpoints);
+    std::fill(out_cnbr, out_cnbr + cg.v * kc_cap, kInvalid);
+    for (int64_t c = 0; c < cg.v; ++c)
+        for (int32_t a = 0; a < cg.k; ++a)
+            out_cnbr[c * kc_cap + a] = cg.nbr[c * cg.k + a];
+    return static_cast<int32_t>(cg.v);
 }
 
 }  // extern "C"

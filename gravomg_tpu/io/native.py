@@ -60,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
         i64, ctypes.c_int32, i32p, f64p, f64p, ctypes.c_double, i64,
         ctypes.c_int32, ctypes.c_int32, i64p,
         ctypes.POINTER(ctypes.c_double)]
+    lib.gmg_coarsen_level.restype = ctypes.c_int32
+    lib.gmg_coarsen_level.argtypes = [
+        i64, ctypes.c_int32, i32p, f64p, f64p, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        i32p, i32p, i32p, f64p, f64p, i32p]
     _lib = lib
     return lib
 
@@ -139,6 +144,43 @@ def build_hierarchy(neighbors: np.ndarray, distances: np.ndarray,
         float(reduction_ratio), int(threshold), int(max_levels),
         int(scheme), sizes, ctypes.byref(checksum))
     return sizes[:n].copy(), float(checksum.value)
+
+
+def coarsen_level(neighbors: np.ndarray, distances: np.ndarray,
+                  points: np.ndarray, reduction_ratio: float = 2.0,
+                  scheme: int = 0, kc_cap: int = 96) -> dict:
+    """One sequential reference-semantics coarsening step with the
+    full discrete hierarchy exported (samples, parents, U, coarse
+    points + adjacency).  The golden oracle for at-scale compat checks
+    (the NumPy oracle in tests/oracle.py is exact but too slow past
+    ~10k vertices).  Returns a dict of NumPy arrays."""
+    lib = _load()
+    assert lib is not None
+    v, k = neighbors.shape
+    d = np.where(neighbors != np.int32(2**31 - 1), distances, 0.0)
+    n_s = ctypes.c_int64()
+    samples = np.empty(v, np.int32)
+    parents = np.empty(v, np.int32)
+    u_cols = np.empty(v * 3, np.int32)
+    u_w = np.empty(v * 3, np.float64)
+    cpoints = np.empty(v * 3, np.float64)
+    cnbr = np.empty(v * kc_cap, np.int32)
+    nc = lib.gmg_coarsen_level(
+        v, k, np.ascontiguousarray(neighbors, np.int32),
+        np.ascontiguousarray(d, np.float64),
+        np.ascontiguousarray(points, np.float64),
+        float(reduction_ratio), int(scheme), int(kc_cap),
+        ctypes.byref(n_s), samples, parents, u_cols, u_w, cpoints, cnbr)
+    if nc < 0:
+        raise ValueError(f"kc_cap={kc_cap} too small for coarse graph")
+    return {
+        "samples": samples[:n_s.value].copy(),
+        "parents": parents,
+        "u_cols": u_cols.reshape(v, 3),
+        "u_weights": u_w.reshape(v, 3),
+        "coarse_points": cpoints[:nc * 3].reshape(nc, 3).copy(),
+        "coarse_nbr": cnbr.reshape(v, kc_cap)[:nc].copy(),
+    }
 
 
 def read_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -140,10 +140,23 @@ def c5_batch64():
         return jax.vmap(lambda b: g.v_cycle(hs, jnp.zeros_like(b), b,
                                             cfg))(bs)
 
+    @jax.jit
+    def seq_cycle(hs, bs):
+        # Same 64 V-cycles as a sequential fori_loop in ONE launch --
+        # isolates the vmap batching win from dispatch constants.
+        def body(i, acc):
+            x = g.v_cycle(hs, jnp.zeros_like(bs[0]), bs[i], cfg)
+            return acc.at[i].set(x)
+        return jax.lax.fori_loop(0, bs.shape[0], body,
+                                 jnp.zeros_like(bs))
+
     t, out = timed_call(lambda: batch_cycle(sol, bs))
+    t_seq, _ = timed_call(lambda: seq_cycle(sol, bs))
     emit({"config": "c5_batch64", "n": 20_000, "batch": 64,
           "levels": levels, "t_build_s": round(t_build, 3),
           "batch64_vcycle_s": round(t, 4),
+          "sequential64_vcycle_s": round(t_seq, 4),
+          "batch_speedup": round(t_seq / max(t, 1e-9), 2),
           "per_rhs_ms": round(t / 64 * 1000, 3)})
 
 

@@ -84,3 +84,46 @@ def test_native_stage_kernels_match_oracle():
     par_o, dist_o = oracle.assign_parents(pts, nbr, dist, sel_o)
     np.testing.assert_array_equal(par_c, par_o)
     np.testing.assert_allclose(dist_c, dist_o, rtol=1e-12, atol=1e-12)
+
+
+def test_native_coarsen_level_export_matches_oracle():
+    """The per-level export surface (gmg_coarsen_level) used by the
+    at-scale compat script (scripts/compat_scale.py) matches the NumPy
+    oracle stage by stage."""
+    pts = torus_points(900, seed=5)
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    nbr = np.asarray(graph.neighbors)
+    dist = np.asarray(graph.distances)
+
+    exp = native.coarsen_level(nbr, dist, pts, reduction_ratio=2.0,
+                               scheme=0, kc_cap=64)
+
+    mask = nbr != INVALID
+    radius = np.cbrt(2.0) * dist[mask].mean()
+    sel_o = oracle.disc_sample(pts, nbr, dist, radius)
+    np.testing.assert_array_equal(exp["samples"], sel_o)
+    par_o, _ = oracle.assign_parents(pts, nbr, dist, sel_o)
+    np.testing.assert_array_equal(exp["parents"], par_o)
+
+    nc = len(sel_o)
+    adj_o = oracle.coarse_edge_pattern(nbr, par_o, nc)
+    for c in range(nc):
+        got = exp["coarse_nbr"][c]
+        got = got[got != INVALID]
+        np.testing.assert_array_equal(got, adj_o[c])
+    cp_o = oracle.coarse_placement(pts, nbr, par_o, sel_o)
+    np.testing.assert_allclose(exp["coarse_points"], cp_o, atol=1e-12)
+
+    tris_o, normals_o, assoc_o = oracle.voronoi_triangles(cp_o, adj_o)
+    rows_o, _ = oracle.construct_prolongation(
+        pts.astype(np.float64), par_o, cp_o, adj_o, tris_o, normals_o,
+        assoc_o)
+    for i in range(900):
+        got = {}
+        for cc, ww in zip(exp["u_cols"][i], exp["u_weights"][i]):
+            if abs(ww) > 0:
+                got[int(cc)] = got.get(int(cc), 0.0) + ww
+        ref = {int(c): w for c, w in rows_o[i] if abs(w) > 0}
+        assert set(got) == set(ref), i
+        for cc, ww in got.items():
+            np.testing.assert_allclose(ww, ref[cc], atol=1e-12)
