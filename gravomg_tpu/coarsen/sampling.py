@@ -299,7 +299,6 @@ def fast_disc_sample_bd(graph: Graph, radius, k_prune: int | None = None,
     # fast_disc_sample_priority).
     if v > large_v:
         window, nw, window0 = 128, 6, 512
-        kc_cap = max(kc_cap, 256)
     else:
         window0 = window
     cols, mask, c_ovf = conflict_ell(graph, radius,
@@ -375,13 +374,16 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
     # 2-hop relation is also wider than kc_cap=192 at this scale.
     if v > large_v:
         window, nw, window0 = 128, 6, 512
-        kc_cap = max(kc_cap, 256)
     else:
         window0 = window
     cols, mask, c_ovf = conflict_ell(graph, radius,
                                      min(k_prune, graph.max_degree),
                                      kc_cap, lower_only=False)
-    cap = escape_cap or max(4096, v)
+    # Escape fill measured at 0.88*V for the standard radius at 50k
+    # (wide geometry) and 0.47*V at 1M (narrow) -- a 1*V cap was one
+    # bad radius away from an invalid build; 2*V covers the swept
+    # reduction ratios (1.7*V at ratio 4.0) at ~10 ns/slot/round.
+    cap = escape_cap or max(4096, 2 * v)
     # ONE min-plus operator serves both reductions (the round-2 design
     # carried a second indicator operator -- 2x the dominant memory):
     #   min_j (0 + gate_j)  over conflicts, gate = 0 iff selected,

@@ -15,6 +15,12 @@ TPU-native: the candidate tensor (C, K, K) over sorted neighbor-slot
 pairs is evaluated with a vectorized adjacency membership test, compacted
 with a static-size nonzero, and association lists are grouped with one
 stable sort (SURVEY.md §7 step 3).
+
+Launch structure: the per-anchor key extraction is issued as several
+bounded launches of ``_SLAB`` rows each (a Python loop, no syncs) -- the
+single fused launch exceeded the runtime's device watchdog at 1M
+vertices (~104 chunk sorts in one launch).  Assembly (global ids,
+normals, association lists) is one further launch.
 """
 
 from __future__ import annotations
@@ -28,43 +34,22 @@ import jax.numpy as jnp
 from gravomg_tpu.types import Graph, TriangleSet, INVALID_INDEX
 from gravomg_tpu.ops.segment import group_ordered
 
+_SLAB = 32768          # rows per launch in the key-extraction phase
+_CHUNK = 4096          # rows per lax.map step inside a launch
 
-@functools.partial(jax.jit, static_argnames=("max_triangles", "max_assoc"))
-def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
-                                max_assoc: int) -> Tuple[TriangleSet, jax.Array]:
-    """Enumerate coarse-graph triangles.
 
-    Args:
-      coarse: coarse-level graph (rows ascending).
-      max_triangles: static pad for the triangle list (planar-ish graphs
-        have ~2C triangles; overflow is flagged).
-      max_assoc: static pad for per-vertex association lists.
+@functools.partial(jax.jit, static_argnames=("row_cap",))
+def _anchored_keys_slab(nbrs: jax.Array, raws: jax.Array, ms: jax.Array,
+                        idxs: jax.Array, raw_full: jax.Array,
+                        row_cap: int):
+    """Per-anchor compacted (k1, k2) pair codes for one row slab.
 
-    Returns:
-      (TriangleSet, overflow () bool).
+    nbrs/raws/ms: (S, K) safe-neighbors / raw (imax-pad) / mask rows;
+    idxs: (S,) global row indices; raw_full: (C, K) full raw table for
+    the membership gather.  Returns (keys (S, row_cap), counts (S,)).
     """
-    c, k = coarse.neighbors.shape
-    nbr = coarse.safe_neighbors()
-    m = coarse.mask
-    idx = jnp.arange(c, dtype=jnp.int32)
-    raw = coarse.neighbors                             # sorted, INT_MAX pad
-
-    chunk = max(1, min(c, 4096))
-    cpad = ((c + chunk - 1) // chunk) * chunk
-    pad = cpad - c
-    # Per-anchor triangle cap: triangles anchored at v0 are adjacent
-    # pairs among its higher-indexed neighbors -- bounded by ~K on
-    # surface-like graphs.  Keeps all compaction state at (C, cap)
-    # instead of a (C, K, K) tensor whose lane padding OOMs at 1M
-    # (measured: 13 GB at C=424k, K=48).  The pair mask itself is also
-    # built per chunk: a global (C, K, K) bool tile-pads to ~3.5 GB at
-    # C=400k, K=48 -- the 1M OOM of round 3.
-    row_cap = min(2 * k, k * (k - 1) // 2)
-
-    def padc(a, fill=0):
-        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
-                       constant_values=fill)
-
+    s, k = nbrs.shape
+    chunk = max(1, min(s, _CHUNK))
     slot_ok = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])[None]
 
     def anchored_chunk(args):
@@ -76,15 +61,18 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
         pmc = mc[:, :, None] & mc[:, None, :] & slot_ok
         pmc &= nbrc[:, :, None] > idxc[:, None, None]
         # Adjacency membership: exists[c, k1, k2] = v2 in
-        # neighbors(v1), via binary search in the ascending row of v1
-        # (O(K^2 log K) per vertex instead of the O(K^3) compare).
-        rows_v1 = raw[nbrc]                            # (cc, K, K_inner)
-        search = jax.vmap(jax.vmap(jnp.searchsorted, in_axes=(0, None)),
-                          in_axes=(0, 0))
-        pos = search(rows_v1, rawc)                    # (cc, K_1, K_2)
-        found = jnp.take_along_axis(rows_v1, jnp.minimum(pos, k - 1),
-                                    axis=2)
-        tm = pmc & (found == rawc[:, None, :])         # (cc, K, K) bool
+        # neighbors(v1).  Dense VPU equality over the inner slot --
+        # O(K^3) compares but compare-bound, not gather-bound (the
+        # earlier searchsorted form lowers to ~K^2 log K serial gathers
+        # per vertex at ~7 ns each).  imax padding in rows_v1 can only
+        # equal imax padding in rawc, and those slots are masked off by
+        # pmc.
+        rows_v1 = raw_full[nbrc]                       # (cc, K, K_inner)
+        exists = None
+        for ki in range(k):
+            eq = rows_v1[:, :, ki][:, :, None] == rawc[:, None, :]
+            exists = eq if exists is None else (exists | eq)
+        tm = pmc & exists                              # (cc, K, K) bool
         # Compact each row's valid (k1, k2) pairs in lex order.
         code = (jnp.arange(k, dtype=jnp.int32)[:, None] * k
                 + jnp.arange(k, dtype=jnp.int32)[None, :])[None]
@@ -93,14 +81,30 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
         counts = jnp.sum(tm, axis=(1, 2)).astype(jnp.int32)
         return keys, counts
 
-    keys, row_counts = jax.lax.map(
+    spad = ((s + chunk - 1) // chunk) * chunk
+    pad = spad - s
+
+    def padc(a, fill=0):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    keys, counts = jax.lax.map(
         anchored_chunk,
-        (padc(nbr).reshape(-1, chunk, k),
-         padc(raw, 0).reshape(-1, chunk, k),
-         padc(m, False).reshape(-1, chunk, k),
-         padc(idx, 0).reshape(-1, chunk)))
-    keys = keys.reshape(cpad, row_cap)[:c]             # (C, row_cap)
-    row_counts = row_counts.reshape(cpad)[:c]
+        (padc(nbrs).reshape(-1, chunk, k),
+         padc(raws, 0).reshape(-1, chunk, k),
+         padc(ms, False).reshape(-1, chunk, k),
+         padc(idxs, 0).reshape(-1, chunk)))
+    return (keys.reshape(spad, row_cap)[:s],
+            counts.reshape(spad)[:s])
+
+
+@functools.partial(jax.jit, static_argnames=("max_triangles", "max_assoc",
+                                             "row_cap"))
+def _assemble(keys: jax.Array, row_counts: jax.Array, nbr: jax.Array,
+              points: jax.Array, max_triangles: int, max_assoc: int,
+              row_cap: int):
+    c, k = nbr.shape
+    idx = jnp.arange(c, dtype=jnp.int32)
     row_overflow = jnp.any(row_counts > row_cap)
     row_counts = jnp.minimum(row_counts, row_cap)
 
@@ -134,9 +138,9 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
     vertices = jnp.stack([t_v0, t_v1, t_v2], axis=1)
     vertices = jnp.where(valid_t[:, None], vertices, INVALID_INDEX)
 
-    p0 = coarse.points[t_v0]
-    p1 = coarse.points[t_v1]
-    p2 = coarse.points[t_v2]
+    p0 = points[t_v0]
+    p1 = points[t_v1]
+    p2 = points[t_v2]
     cr = jnp.cross(p1 - p0, p2 - p0)
     normals = cr / jnp.maximum(
         jnp.linalg.norm(cr, axis=1, keepdims=True), 1e-30)
@@ -150,3 +154,57 @@ def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
 
     return (TriangleSet(vertices=vertices, normals=normals, assoc=assoc),
             overflow | assoc_overflow)
+
+
+def construct_voronoi_triangles(coarse: Graph, max_triangles: int,
+                                max_assoc: int) -> Tuple[TriangleSet, jax.Array]:
+    """Enumerate coarse-graph triangles.
+
+    Args:
+      coarse: coarse-level graph (rows ascending).
+      max_triangles: static pad for the triangle list (planar-ish graphs
+        have ~2C triangles; overflow is flagged).
+      max_assoc: static pad for per-vertex association lists.
+
+    Returns:
+      (TriangleSet, overflow () bool).
+
+    Host-level orchestrator (no sync): issues the key-extraction phase
+    as ceil(C / 32768) bounded launches plus one assembly launch.  A
+    per-anchor cap of ~2K pair codes keeps all compaction state at
+    (C, cap) -- a (C, K, K) tensor tile-pads to GBs at 1M (measured).
+    """
+    c, k = coarse.neighbors.shape
+    nbr = coarse.safe_neighbors()
+    m = coarse.mask
+    raw = coarse.neighbors                             # sorted, INT_MAX pad
+    idx = jnp.arange(c, dtype=jnp.int32)
+    row_cap = min(2 * k, k * (k - 1) // 2)
+
+    slab = min(_SLAB, ((c + _CHUNK - 1) // _CHUNK) * _CHUNK)
+    keys_l, counts_l = [], []
+    for s0 in range(0, c, slab):
+        s1 = min(s0 + slab, c)
+        if s1 - s0 < slab:
+            # Pad the tail slice to the slab shape (compile once).
+            def padr(a, fill):
+                return jnp.pad(a[s0:s1],
+                               ((0, slab - (s1 - s0)),)
+                               + ((0, 0),) * (a.ndim - 1),
+                               constant_values=fill)
+            ks, cs = _anchored_keys_slab(
+                padr(nbr, 0), padr(raw, 0), padr(m, False),
+                padr(idx, 0), raw, row_cap)
+            ks, cs = ks[: s1 - s0], cs[: s1 - s0]
+        else:
+            ks, cs = _anchored_keys_slab(
+                nbr[s0:s1], raw[s0:s1], m[s0:s1], idx[s0:s1], raw,
+                row_cap)
+        keys_l.append(ks)
+        counts_l.append(cs)
+    keys = keys_l[0] if len(keys_l) == 1 else jnp.concatenate(keys_l)
+    row_counts = (counts_l[0] if len(counts_l) == 1
+                  else jnp.concatenate(counts_l))
+
+    return _assemble(keys, row_counts, nbr, coarse.points, max_triangles,
+                     max_assoc, row_cap)

@@ -83,10 +83,16 @@ def with_ratio(sol, ratio):
 def measure(cfg, sol, b):
     _, rel, it, hist = g.solve_with_history(sol, b, cfg)
     hist = np.asarray(hist)
-    hist = hist[np.isfinite(hist)]
-    if len(hist) >= 6:
-        k1, k2 = max(len(hist) - 9, 1), len(hist) - 1
-        rho = float((hist[k2] / hist[k1]) ** (1.0 / (k2 - k1)))
+    hist = hist[np.isfinite(hist) & (hist > 0)]
+    # f32 stationary cycles STALL around 1e-4 relative (known f32
+    # plateau; mg_pcg is the 1e-8 path), so the asymptotic window must
+    # stop ABOVE the plateau: fit rho on cycles while the residual is
+    # still >30x the final stall level.
+    if len(hist) >= 4:
+        floor = 30.0 * hist.min()
+        k = int(np.sum(hist > floor))
+        k = max(min(k, len(hist) - 1), 2)
+        rho = float((hist[k] / hist[0]) ** (1.0 / k))
     else:
         rho = float("nan")
     _, rel_p, it_p = g.mg_pcg(sol, b, cfg)
