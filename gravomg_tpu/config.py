@@ -30,7 +30,13 @@ class MultigridConfig:
     post_smooth: int = 2
     jacobi_omega: float = 2.0 / 3.0
     chebyshev_degree: int = 4
-    chebyshev_ratio: float = 4.0
+    # Swept at 50k (scripts/sweep_contraction.py, BENCH_r03 sweep):
+    # ratio 16 contracts at rho=0.135/cycle vs 0.251 at the old ratio 4
+    # (identical per-cycle work; VERDICT r2 task 6's <=0.25 target) and
+    # drops MG-PCG from 10 to 8 iterations.  The reduction-ratio
+    # hypothesis was refuted by the same sweep (rho 0.28 at 1.2x vs
+    # 0.25 at 2x reduction).
+    chebyshev_ratio: float = 16.0
     # --- outer iteration ---
     tolerance: float = 1e-8           # relative residual target (BASELINE)
     max_cycles: int = 200

@@ -23,7 +23,7 @@ from gravomg_tpu.ops.segment import build_ell_rows
 
 
 def galerkin_rap(op: EllOperator, u: Prolongation, max_degree: int,
-                 chunk_rows: int = 300_000) -> Tuple[EllOperator, jax.Array]:
+                 chunk_rows: int = 150_000) -> Tuple[EllOperator, jax.Array]:
     """Compute A_c = U^T A U as an ELL operator with static max_degree.
 
     Dispatches to the single-shot kernel when the triplet stream fits a
@@ -65,9 +65,58 @@ def _merge_ell(cols_a, vals_a, cols_b, vals_b, num_rows, out_cols):
     return res.columns, res.values, res.overflow
 
 
-@functools.partial(jax.jit, static_argnames=("max_degree", "chunk_rows"))
+@functools.partial(jax.jit, static_argnames=("max_degree",))
+def _rap_chunk_merge(acc_cols, acc_vals, ovf, sub_nbr, sub_off, sub_diag,
+                     sub_uc, sub_uw, all_uc, all_uw, max_degree: int):
+    """One chunk's RAP contributions merged into the accumulator.
+
+    Padded rows have zero U weights and masked neighbors -> no
+    contribution; their diag contributes to (0, 0) with value 0.
+    Column-side U gathers must use the FULL U (neighbor ids are
+    global), only the row side is chunk-local.
+    """
+    nc = acc_cols.shape[0]
+    sub = EllOperator(sub_nbr, sub_off, sub_diag)
+    sub_u = Prolongation(sub_uc, sub_uw, nc)
+    part, o1 = _rap_rows(sub, sub_u, all_uc, all_uw, max_degree)
+    part_cols = jnp.concatenate(
+        [jnp.where(part.diag != 0.0,
+                   jnp.arange(nc, dtype=jnp.int32),
+                   INVALID_INDEX)[:, None], part.neighbors], axis=1)
+    part_vals = jnp.concatenate(
+        [jnp.where(part.diag != 0.0, part.diag, 0.0)[:, None],
+         part.offdiag], axis=1)
+    cols2, vals2, o2 = _merge_ell(acc_cols, acc_vals, part_cols,
+                                  part_vals, nc, max_degree + 1)
+    return cols2, vals2, ovf | o1 | o2
+
+
+@functools.partial(jax.jit, static_argnames=("max_degree",))
+def _rap_finalize(acc_cols, acc_vals, max_degree: int):
+    nc = acc_cols.shape[0]
+    cmask = acc_cols != INVALID_INDEX
+    is_diag = cmask & (acc_cols
+                       == jnp.arange(nc, dtype=jnp.int32)[:, None])
+    diag = jnp.sum(jnp.where(is_diag, acc_vals, 0.0), axis=1)
+    off_cols = jnp.where(is_diag, INVALID_INDEX, acc_cols)
+    off_vals = jnp.where(is_diag, 0.0, acc_vals)
+    order = jnp.argsort(off_cols, axis=1, stable=True)
+    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
+    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
+    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
+    return out._replace(diag=_phantom_identity(out))
+
+
 def _galerkin_rap_chunked(op: EllOperator, u: Prolongation,
                           max_degree: int, chunk_rows: int):
+    """Host-level chunk loop: ONE bounded launch per chunk.
+
+    The previous lax.scan form fused every chunk's 9-pair triplet sort
+    (~45M elements each at 1M vertices) into a single launch, which
+    exceeded the runtime's device watchdog (the round-3 1M RAP kernel
+    fault).  The Python loop issues the same jitted chunk body per
+    slice -- identical math, no syncs, one compile (fixed chunk shape).
+    """
     vf, k = op.neighbors.shape
     nc = u.n_coarse
     n_chunks = -(-vf // chunk_rows)
@@ -85,44 +134,15 @@ def _galerkin_rap_chunked(op: EllOperator, u: Prolongation,
 
     acc_cols = jnp.full((nc, max_degree + 1), INVALID_INDEX, jnp.int32)
     acc_vals = jnp.zeros((nc, max_degree + 1), op.offdiag.dtype)
+    ovf = jnp.bool_(False)
 
-    def body(carry, c0):
-        acc_cols, acc_vals, ovf = carry
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0 * chunk_rows,
-                                                    chunk_rows)
-        sub = EllOperator(sl(nbr_p), sl(off_p), sl(diag_p))
-        sub_u = Prolongation(sl(uc_p), sl(uw_p), nc)
-        # Padded rows have zero U weights and masked neighbors -> no
-        # contribution; their diag contributes to (0, 0) with value 0.
-        # Column-side U gathers must use the FULL U (neighbor ids are
-        # global), only the row side is chunk-local.
-        part, o1 = _rap_rows(sub, sub_u, u.cols, u.weights, max_degree)
-        part_cols = jnp.concatenate(
-            [jnp.where(part.diag != 0.0,
-                       jnp.arange(nc, dtype=jnp.int32),
-                       INVALID_INDEX)[:, None], part.neighbors], axis=1)
-        part_vals = jnp.concatenate(
-            [jnp.where(part.diag != 0.0, part.diag, 0.0)[:, None],
-             part.offdiag], axis=1)
-        cols2, vals2, o2 = _merge_ell(acc_cols, acc_vals, part_cols,
-                                      part_vals, nc, max_degree + 1)
-        return (cols2, vals2, ovf | o1 | o2), None
+    for c0 in range(n_chunks):
+        s = slice(c0 * chunk_rows, (c0 + 1) * chunk_rows)
+        acc_cols, acc_vals, ovf = _rap_chunk_merge(
+            acc_cols, acc_vals, ovf, nbr_p[s], off_p[s], diag_p[s],
+            uc_p[s], uw_p[s], u.cols, u.weights, max_degree)
 
-    (acc_cols, acc_vals, ovf), _ = jax.lax.scan(
-        body, (acc_cols, acc_vals, jnp.bool_(False)),
-        jnp.arange(n_chunks))
-
-    cmask = acc_cols != INVALID_INDEX
-    is_diag = cmask & (acc_cols
-                       == jnp.arange(nc, dtype=jnp.int32)[:, None])
-    diag = jnp.sum(jnp.where(is_diag, acc_vals, 0.0), axis=1)
-    off_cols = jnp.where(is_diag, INVALID_INDEX, acc_cols)
-    off_vals = jnp.where(is_diag, 0.0, acc_vals)
-    order = jnp.argsort(off_cols, axis=1, stable=True)
-    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
-    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
-    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
-    return out._replace(diag=_phantom_identity(out)), ovf
+    return _rap_finalize(acc_cols, acc_vals, max_degree), ovf
 
 
 @functools.partial(jax.jit, static_argnames=("max_degree",))

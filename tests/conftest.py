@@ -59,3 +59,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _unload_jit_code_between_modules():
+    """Drop compiled-executable references after each test module.
+
+    Long pytest processes accumulate thousands of XLA:CPU JIT'd
+    executables; LLVM's section allocator eventually fails with
+    'Unable to allocate section memory!' / 'Cannot allocate memory'
+    and segfaults the process (observed reproducibly near the end of
+    the full suite).  Clearing JAX's caches lets the loaded code
+    sections unload; cross-module recompiles are cheap next to that.
+    """
+    yield
+    jax.clear_caches()
