@@ -76,8 +76,11 @@ def _matvec_kernel(ws_ref, x_ref, m_ref, o_ref, scr_ref, *, nw: int,
         # (BLK, G) -> (G, BLK) relayout happens once per program below
         # instead of once per block (group x fewer).
         scr_ref[:, t:t + 1] = jnp.sum(acc, axis=1, keepdims=True)
-    j0 = j * group
-    o_ref[pl.ds(j0, group), :] = scr_ref[:].T.astype(o_ref.dtype)
+    # o_ref is the (group, blk) output BLOCK of this program (blocked
+    # out_specs): an unblocked (NBLK, BLK) VMEM output lane-pads BLK to
+    # 128 and overflows scoped VMEM at scale (21.9 MB at NBLK=43k, the
+    # 1M compile OOM).
+    o_ref[:, :] = scr_ref[:].T.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group"))
@@ -104,9 +107,21 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
     if group <= 0:
         # Target ~0.5-1 MB of M per grid step (amortizes the measured
         # ~0.5 us per-step cost without bloating VMEM double buffers).
-        group = max(1, min(nblk, (1 << 19) // max(blk * nww * 4, 1)))
-    while nblk % group:
-        group -= 1
+        # The blocked OUTPUT spec needs group % 8 == 0 (Mosaic tiling)
+        # or group == nblk; prefer the largest valid multiple of 8
+        # under the budget, else fall back to the whole array (fine for
+        # small nblk -- the unblocked-out form was the 22 MB scoped-
+        # VMEM OOM only at nblk ~ 43k).
+        budget = max(8, (1 << 19) // max(blk * nww * 4, 1))
+        group = nblk
+        g = 8
+        while g <= min(nblk, budget):
+            if nblk % g == 0:
+                group = g
+            g += 8
+    else:
+        while nblk % group:
+            group -= 1
 
     pad = -(-(x.shape[0] + max(win, win0)) // 128) * 128 - x.shape[0]
     xp = jnp.pad(x, (0, pad)).reshape(-1, 128)               # (NSEG, 128)
@@ -119,7 +134,8 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
             pl.BlockSpec((group, blk, nww), lambda j, ws: (j, 0, 0),
                          memory_space=pltpu.VMEM),           # M blocks
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((group, blk), lambda j, ws: (j, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((blk, group), acc)],
     )
     y = pl.pallas_call(
@@ -172,7 +188,9 @@ def _mxu_kernel(sr_ref, x_ref, mt_ref, o_ref, scr_ref, *, nseg: int,
                 preferred_element_type=acc_dtype)            # (1, 128)
             acc = p if acc is None else acc + p
         scr_ref[t:t + 1, :] = acc
-    o_ref[pl.ds(j * group, group), :] = scr_ref[:].astype(o_ref.dtype)
+    # Blocked output (see _matvec_kernel): the full (NBLK, 128) in VMEM
+    # is 22 MB at 1M scale.
+    o_ref[:, :] = scr_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret",
@@ -192,9 +210,19 @@ def mxu_matvec_pallas(mt: jax.Array, seg_rows: jax.Array, x: jax.Array,
     nblk, nseg = seg_rows.shape
     acc = jnp.promote_types(mt.dtype, jnp.float32)
     if group <= 0:
-        group = max(1, min(nblk, (1 << 20) // max(nseg * 65536, 1)))
-    while nblk % group:
-        group -= 1
+        # Same group rule as the VPU kernel: multiple of 8 (Mosaic
+        # block tiling for the blocked output) under a VMEM budget,
+        # else the whole array.
+        budget = max(8, (1 << 20) // max(nseg * 65536, 1))
+        group = nblk
+        g = 8
+        while g <= min(nblk, budget):
+            if nblk % g == 0:
+                group = g
+            g += 8
+    else:
+        while nblk % group:
+            group -= 1
 
     pad = -(-(x.shape[0] + 128) // 128) * 128 - x.shape[0]
     xp = jnp.pad(x, (0, pad)).reshape(-1, 128)
@@ -208,7 +236,8 @@ def mxu_matvec_pallas(mt: jax.Array, seg_rows: jax.Array, x: jax.Array,
                          lambda j, sr: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # tiles
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((group, 128), lambda j, sr: (j, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((group, 128), acc)],
     )
     y = pl.pallas_call(

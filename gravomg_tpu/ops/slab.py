@@ -169,7 +169,11 @@ def slab_from_ell(cols: jax.Array, vals: jax.Array, valid: jax.Array,
         if nb == 0:
             continue
         cap = int(caps[ci])
-        nbp = -(-nb // BPAD) * BPAD if nb > BPAD else nb
+        # Small buckets still pad to a multiple of 8 blocks: Mosaic
+        # block shapes need an 8-divisible second-minor dim, and the
+        # kernel's blocked output spec needs a valid group size.
+        nbp = (-(-nb // BPAD) * BPAD if nb > BPAD
+               else -(-nb // 8) * 8)
         lo, hi = start * block, (start + nb) * block
         c_b, v_b, m_b = cols_s[lo:hi], vals_s[lo:hi], valid_s[lo:hi]
         anch = first_s[start:start + nb]
