@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# GRAVOMG_SMOKE=1 shrinks every config ~20x: validates the script
+# end-to-end (CPU or TPU) without the full-size compile budget.
+SMOKE = os.environ.get("GRAVOMG_SMOKE") == "1"
+
+
+def sz(n):
+    return max(2000, n // 20) if SMOKE else n
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -80,25 +89,25 @@ def pipeline(pts, k, cfg):
 def c1_sphere5k():
     sv, _ = icosphere(5)                       # 10242 verts; sample 5k
     rng = np.random.default_rng(0)
-    pts = sv[rng.choice(len(sv), 5000, replace=False)]
+    pts = sv[rng.choice(len(sv), sz(5000), replace=False)]
     cfg = g.MultigridConfig(coarse_threshold=800, smoother="jacobi",
                             max_levels=2)
     graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
-    b = jnp.asarray(rng.normal(size=5000), jnp.float32)
+    b = jnp.asarray(rng.normal(size=pts.shape[0]), jnp.float32)
     t, (x, rel, it) = timed_call(
         lambda: g.mg_pcg(sol, b, cfg))
-    emit({"config": "c1_sphere5k", "n": 5000, "levels": levels,
+    emit({"config": "c1_sphere5k", "n": pts.shape[0], "levels": levels,
           "t_build_s": round(t_build, 3), "solve_s": round(t, 4),
           "rel_residual": float(rel), "iters": int(it)})
 
 
 def c2_mesh35k():
-    pts = torus_points(35_000, seed=2)
+    pts = torus_points(sz(35_000), seed=2)
     cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev",
                             max_levels=3)
     rng = np.random.default_rng(1)
     graph, spd, h, sol, t_build, levels = pipeline(pts, 14, cfg)
-    b = jnp.asarray(rng.normal(size=35_000), jnp.float32)
+    b = jnp.asarray(rng.normal(size=pts.shape[0]), jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("cycles",))
     def run_cycles(hs, b, cycles):
@@ -108,7 +117,7 @@ def c2_mesh35k():
 
     t8, _ = timed_call(lambda: run_cycles(sol, b, 8))
     t_pcg, (x, rel, it) = timed_call(lambda: g.mg_pcg(sol, b, cfg))
-    emit({"config": "c2_mesh35k", "n": 35_000, "levels": levels,
+    emit({"config": "c2_mesh35k", "n": pts.shape[0], "levels": levels,
           "t_build_s": round(t_build, 3),
           "vcycle8_s": round(t8, 4),
           "pcg_solve_s": round(t_pcg, 4), "rel_residual": float(rel),
@@ -116,24 +125,24 @@ def c2_mesh35k():
 
 
 def c3_heat170k():
-    pts = torus_points(170_000, seed=3)
+    pts = torus_points(sz(170_000), seed=3)
     cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
     graph, spd, h, sol, t_build, levels = pipeline(pts, 16, cfg)
     from gravomg_tpu.apps.heat import heat_geodesics
     t, phi = timed_call(lambda: heat_geodesics(graph, h, source=0,
                                                cfg=cfg))
     finite = bool(jnp.all(jnp.isfinite(phi)))
-    emit({"config": "c3_heat170k", "n": 170_000, "levels": levels,
+    emit({"config": "c3_heat170k", "n": pts.shape[0], "levels": levels,
           "t_build_s": round(t_build, 3),
           "two_solve_heat_s": round(t, 4), "finite": finite})
 
 
 def c5_batch64():
-    pts = torus_points(20_000, seed=4)
+    pts = torus_points(sz(20_000), seed=4)
     cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev")
     rng = np.random.default_rng(2)
     graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
-    bs = jnp.asarray(rng.normal(size=(64, 20_000)), jnp.float32)
+    bs = jnp.asarray(rng.normal(size=(64, pts.shape[0])), jnp.float32)
 
     @jax.jit
     def batch_cycle(hs, bs):
@@ -152,7 +161,7 @@ def c5_batch64():
 
     t, out = timed_call(lambda: batch_cycle(sol, bs))
     t_seq, _ = timed_call(lambda: seq_cycle(sol, bs))
-    emit({"config": "c5_batch64", "n": 20_000, "batch": 64,
+    emit({"config": "c5_batch64", "n": pts.shape[0], "batch": 64,
           "levels": levels, "t_build_s": round(t_build, 3),
           "batch64_vcycle_s": round(t, 4),
           "sequential64_vcycle_s": round(t_seq, 4),
