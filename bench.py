@@ -261,7 +261,7 @@ nbr = np.asarray(graph.neighbors)
 dst = np.asarray(graph.distances)
 p64 = np.asarray(pts, np.float64)
 t0 = time.perf_counter()
-native.build_hierarchy(nbr, dst, p64, ratio=2.0)
+native.build_hierarchy(nbr, dst, p64, reduction_ratio=2.0)
 json.dump({"cpu_build_s": time.perf_counter() - t0}, open(out, "w"))
 """
 
