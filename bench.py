@@ -96,6 +96,10 @@ sol = compact_solver(h.solver, diags)
 # the small ones.  Exact: same products, different add order.
 sol = g.attach_slab_operators(sol)
 sol = g.attach_fast_operators(sol)
+# Drop the uncompacted build hierarchy: its padded per-level arrays pin
+# several GB of HBM at 1M vertices and nothing below reads them.
+h = None
+gc.collect()
 b = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
 
 # All cycle measurements are SINGLE-launch programs (fori_loop inside

@@ -10,13 +10,15 @@ code that traces once under jit and scales via vmap/pjit.
 Quick start::
 
     import jax.numpy as jnp
-    from gravomg_tpu import (knn_graph, graph_laplacian, build_hierarchy,
+    from gravomg_tpu import (knn_graph, poisson_hierarchy,
                              MultigridConfig, solve_poisson)
 
     graph = knn_graph(points, k=32)
-    lap, mass = graph_laplacian(graph)
-    h = build_hierarchy(graph, lap, MultigridConfig())
-    x, rel, iters = solve_poisson(h, b)
+    # L + 0.5*diag(mass): the SPD screened-Poisson operator (a pure
+    # graph Laplacian is singular -- its constant nullspace caps f32
+    # convergence near 1e-7).
+    h = poisson_hierarchy(graph, alpha=0.5, cfg=MultigridConfig())
+    x, rel, iters = solve_poisson(h, b)      # MG-preconditioned CG
 """
 
 from gravomg_tpu.types import (EllOperator, Graph, HierarchyStats,
@@ -56,5 +58,16 @@ from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
 from gravomg_tpu.solve.cg import fcg, mg_fcg, mg_pcg, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,
                                    coarsen_once)
+from gravomg_tpu.hierarchy_static import (LevelDiagnostics,
+                                          build_hierarchy_device,
+                                          check_diagnostics, compact_solver)
+from gravomg_tpu.apps import (heat_geodesics, implicit_smooth,
+                              poisson_hierarchy, refit_hierarchy,
+                              screened_poisson_operator, solve_poisson)
+from gravomg_tpu.io.serialization import load_solver, save_solver
+from gravomg_tpu.parallel.batch import (batched_solve, batched_v_cycle,
+                                        stack_solvers)
+from gravomg_tpu.parallel.sharding import (make_mesh, pad_solver_levels,
+                                           shard_solver, sharded_solve)
 
 __version__ = "0.1.0"

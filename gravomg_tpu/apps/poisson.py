@@ -36,10 +36,12 @@ def poisson_hierarchy(graph: Graph, alpha: float = 0.5,
 
 def solve_poisson(h: Hierarchy, b: jax.Array,
                   cfg: MultigridConfig = MultigridConfig(),
-                  method: str = "vcycle", refined: bool = False):
+                  method: str = "pcg", refined: bool = False):
     """Solve A x = b on the hierarchy's finest level.
 
-    method: "vcycle" (stationary) or "pcg" (MG-preconditioned CG).
+    method: "pcg" (MG-preconditioned CG, the 1e-8 path at f32) or
+    "vcycle" (stationary cycles; f32 stationary iteration stalls around
+    1e-5 relative residual, use refined=True to push further).
     refined=True wraps f32 cycles in f64 iterative refinement (needed to
     certify 1e-8 relative residuals with f32 kernels).
     """
