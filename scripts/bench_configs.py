@@ -52,8 +52,17 @@ from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
                                           compact_solver)
 
 
+_ARTIFACT = None if SMOKE else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "CONFIGS_TPU.json")
+
+
 def emit(obj):
-    print(json.dumps(obj), flush=True)
+    line = json.dumps(obj)
+    print(line, flush=True)
+    if _ARTIFACT is not None:
+        with open(_ARTIFACT, "a") as f:
+            f.write(line + "\n")
 
 
 def timed_call(fn, *args):
@@ -174,6 +183,11 @@ ALL = {"c1": c1_sphere5k, "c2": c2_mesh35k, "c3": c3_heat170k,
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
+    if _ARTIFACT is not None and names == list(ALL):
+        # Full run: start the artifact fresh (partial runs append).
+        open(_ARTIFACT, "w").close()
+    emit({"config": "header", "device": jax.devices()[0].platform,
+          "when": time.strftime("%Y-%m-%d %H:%M:%S")})
     for name in names:
         try:
             ALL[name]()
