@@ -52,8 +52,8 @@ from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
                                       attach_fast_operators,
                                       attach_restrictions,
                                       attach_slab_operators,
-                                      cast_fast_operators, level_matvec,
-                                      solve, solve_refined,
+                                      cast_fast_operators, fmg,
+                                      level_matvec, solve, solve_refined,
                                       solve_with_history, v_cycle)
 from gravomg_tpu.solve.cg import fcg, mg_fcg, mg_pcg, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,

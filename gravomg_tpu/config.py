@@ -37,6 +37,12 @@ class MultigridConfig:
     # hypothesis was refuted by the same sweep (rho 0.28 at 1.2x vs
     # 0.25 at 2x reduction).
     chebyshev_ratio: float = 16.0
+    # --- cycling ---
+    # gamma=1 is the V-cycle, gamma=2 the W-cycle (each level visits the
+    # next-coarser level gamma times).  The cycle unrolls at trace time:
+    # coarse-level work grows ~gamma^level, cheap while levels shrink
+    # geometrically (the BASELINE configs are all V-cycles).
+    cycle_gamma: int = 1
     # --- outer iteration ---
     tolerance: float = 1e-8           # relative residual target (BASELINE)
     max_cycles: int = 200

@@ -72,37 +72,81 @@ def _smooth(level: SolverLevel, x, b, iters: int, cfg: MultigridConfig):
     return weighted_jacobi(level.op, x, b, iters, cfg.jacobi_omega, mv=mv)
 
 
+def _restrict_level(level: SolverLevel, r: jax.Array,
+                    one_d: bool) -> jax.Array:
+    """U^T r through the fastest available representation."""
+    from gravomg_tpu.prolong.operator import restrict, restrict_gather
+    if level.utw is not None and one_d:
+        return apply_fast(level.utw, r)
+    if level.ut is not None:
+        return restrict_gather(level.ut, r)
+    return restrict(level.u, r)
+
+
+def _prolong_level(level: SolverLevel, ec: jax.Array,
+                   one_d: bool) -> jax.Array:
+    """U ec through the fastest available representation."""
+    from gravomg_tpu.prolong.operator import prolong
+    if level.uw is not None and one_d:
+        return apply_fast(level.uw, ec)
+    return prolong(level.u, ec)
+
+
+def _descend(h: SolverHierarchy, lvl: int, x: jax.Array, b: jax.Array,
+             cfg: MultigridConfig, one_d: bool) -> jax.Array:
+    """One multigrid cycle starting (and ending) at level ``lvl``."""
+    level = h.levels[lvl]
+    if lvl == len(h.levels) - 1:
+        return coarse_solve(h.coarse_chol, b)
+    x = _smooth(level, x, b, cfg.pre_smooth, cfg)
+    if level.banded is not None and one_d:
+        r = b - level_matvec(level, x)
+    else:
+        r = b - spmv(level.op, x)
+    rc = _restrict_level(level, r, one_d)
+    ec = _descend(h, lvl + 1, jnp.zeros_like(rc), rc, cfg, one_d)
+    # gamma-cycle: revisit the coarser level gamma-1 more times,
+    # continuing from the previous correction (gamma=2 is the W-cycle).
+    # Repeats directly above the coarsest level are skipped -- the
+    # Cholesky solve there is exact, so they would be no-ops.
+    if lvl + 1 < len(h.levels) - 1:
+        for _ in range(cfg.cycle_gamma - 1):
+            ec = _descend(h, lvl + 1, ec, rc, cfg, one_d)
+    x = x + _prolong_level(level, ec, one_d)
+    return _smooth(level, x, b, cfg.post_smooth, cfg)
+
+
 def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
             cfg: MultigridConfig) -> jax.Array:
-    """One V(pre, post) cycle on the finest level."""
-    from gravomg_tpu.prolong.operator import (prolong, restrict,
-                                              restrict_gather)
+    """One cycle on the finest level: V(pre, post) by default,
+    W-cycle and deeper gamma-cycles via ``cfg.cycle_gamma``."""
+    return _descend(h, 0, x, b, cfg, x.ndim == 1)
 
-    one_d = x.ndim == 1
 
-    def descend(lvl: int, x, b):
-        level = h.levels[lvl]
-        if lvl == len(h.levels) - 1:
-            return coarse_solve(h.coarse_chol, b)
-        x = _smooth(level, x, b, cfg.pre_smooth, cfg)
-        if level.banded is not None and one_d:
-            r = b - level_matvec(level, x)
-        else:
-            r = b - spmv(level.op, x)
-        if level.utw is not None and one_d:
-            rc = apply_fast(level.utw, r)
-        elif level.ut is not None:
-            rc = restrict_gather(level.ut, r)
-        else:
-            rc = restrict(level.u, r)
-        ec = descend(lvl + 1, jnp.zeros_like(rc), rc)
-        if level.uw is not None and one_d:
-            x = x + apply_fast(level.uw, ec)
-        else:
-            x = x + prolong(level.u, ec)
-        return _smooth(level, x, b, cfg.post_smooth, cfg)
+def fmg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
+        cycles_per_level: int = 1) -> jax.Array:
+    """Full multigrid (F-cycle): nested iteration from the coarsest
+    level up, ``cycles_per_level`` gamma-cycles after each refinement.
 
-    return descend(0, x, b)
+    Restricts b down the hierarchy, solves exactly on the coarsest
+    level, then alternates prolongation with cycles at every level.
+    One FMG pass costs about twice a V-cycle and lands within the
+    smooth-error floor of A^{-1}b -- use it as the initial guess for
+    :func:`gravomg_tpu.mg_pcg` / :func:`solve` to save early
+    iterations.  The standard nested-iteration construction; the
+    reference has no solver (SURVEY.md §0), so there is no semantic
+    contract to match here.
+    """
+    one_d = b.ndim == 1
+    bs = [b]
+    for level in h.levels[:-1]:
+        bs.append(_restrict_level(level, bs[-1], one_d))
+    x = coarse_solve(h.coarse_chol, bs[-1])
+    for lvl in range(len(h.levels) - 2, -1, -1):
+        x = _prolong_level(h.levels[lvl], x, one_d)
+        for _ in range(cycles_per_level):
+            x = _descend(h, lvl, x, bs[lvl], cfg, one_d)
+    return x
 
 
 import functools

@@ -245,3 +245,35 @@ def test_mg_fcg_bf16_preconditioner(rng):
     assert float(rel32) < cfg.tolerance
     assert float(rel16) < cfg.tolerance
     assert int(it16) <= max(int(1.5 * int(it32)), int(it32) + 3)
+
+
+def test_wcycle_contracts_at_least_as_fast_as_v(rng):
+    # gamma=2 (W-cycle) must converge in no more stationary cycles than
+    # the V-cycle on the same hierarchy (it does strictly more coarse
+    # work per cycle).
+    h, cfg, spd = _sphere_hierarchy(rng)
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    cfg_w = g.MultigridConfig(coarse_threshold=64, cycle_gamma=2)
+    _, rel_v, it_v = g.solve(h.solver, b, cfg)
+    x, rel_w, it_w = g.solve(h.solver, b, cfg_w)
+    assert float(rel_w) < cfg_w.tolerance
+    assert int(it_w) <= int(it_v)
+    true_rel = float(jnp.linalg.norm(g.spmv(spd, x) - b)
+                     / jnp.linalg.norm(b))
+    assert true_rel < 10 * cfg_w.tolerance
+
+
+def test_fmg_initial_guess_cuts_pcg_iterations(rng):
+    h, cfg, spd = _sphere_hierarchy(rng, smoother="chebyshev")
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    x0 = g.fmg(h.solver, b, cfg)
+    # One FMG pass must already be a decent solve (well under the
+    # smooth-error floor of the zero guess)...
+    rel0 = float(jnp.linalg.norm(b - g.spmv(spd, x0))
+                 / jnp.linalg.norm(b))
+    assert rel0 < 0.05
+    # ...and seeding PCG with it must not lose iterations.
+    _, rel_a, it_a = g.mg_pcg(h.solver, b, cfg)
+    _, rel_b, it_b = g.mg_pcg(h.solver, b, cfg, x0=x0)
+    assert float(rel_b) < cfg.tolerance
+    assert int(it_b) <= int(it_a)
