@@ -61,7 +61,7 @@ from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,
 from gravomg_tpu.hierarchy_static import (LevelDiagnostics,
                                           build_hierarchy_device,
                                           check_diagnostics, compact_solver)
-from gravomg_tpu.apps import (heat_geodesics, implicit_smooth,
+from gravomg_tpu.apps import (heat_geodesics, implicit_smooth, laplace_eigs,
                               poisson_hierarchy, refit_hierarchy,
                               screened_poisson_operator, solve_poisson)
 from gravomg_tpu.io.serialization import load_solver, save_solver

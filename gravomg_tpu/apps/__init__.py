@@ -10,8 +10,10 @@ from gravomg_tpu.apps.poisson import (poisson_hierarchy,
                                       solve_poisson)
 from gravomg_tpu.apps.smoothing import implicit_smooth
 from gravomg_tpu.apps.heat import heat_geodesics, refit_hierarchy
+from gravomg_tpu.apps.spectral import laplace_eigs
 
 __all__ = [
     "poisson_hierarchy", "screened_poisson_operator", "solve_poisson",
     "implicit_smooth", "heat_geodesics", "refit_hierarchy",
+    "laplace_eigs",
 ]

@@ -1,0 +1,187 @@
+"""Spectral analysis: lowest Laplace eigenpairs via MG-preconditioned
+block LOBPCG (the "spectral stepping" half of BASELINE config 5).
+
+Solves the generalized symmetric eigenproblem
+
+    L v = lam M v,   L = graph Laplacian, M = lumped mass (diagonal),
+
+for the k smallest eigenpairs.  The reference library stops at
+hierarchy construction (SURVEY.md section 0); spectral workloads are a
+standard consumer of its prolongation hierarchy, and BASELINE config 5
+names them explicitly.
+
+TPU-first shape of the algorithm:
+
+  * All tall-skinny products are (V, m) x (m, m) / (V, m)^T (V, m)
+    matmuls -- MXU work, batched over the whole block.
+  * The preconditioner is the multigrid V-cycle applied to the entire
+    residual block at once: every solver stage (smoothers, transfers,
+    coarse Cholesky) natively supports (V, D) right-hand sides, so one
+    cycle preconditions all k residuals in a single pass over the
+    operators (amortizing the HBM streaming of A across columns).
+  * The dense Rayleigh-Ritz problem is m x m with m <= 3k -- trivial on
+    device, no host round-trip.
+  * One jitted step, host-level iteration loop: keeps each launch well
+    under the device watchdog and lets the caller early-stop on the
+    residual without baking a while_loop around dense eigh.
+
+Numerical design (both measured on the icosphere oracle): the search
+block S = [X, W, P] becomes near-M-rank-deficient as pairs converge,
+and a *jittered-Cholesky* whitening then produces spurious Ritz values
+at the BOTTOM of the spectrum (tiny Gram norm / tiny quotient ratios
+displace true pairs).  The cure here is eigendecomposition-based
+whitening with degenerate directions pinned to a huge Ritz value, so
+the k-smallest selection can never pick them; W and P are additionally
+projected M-orthogonal to X before entering S.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.types import Graph
+from gravomg_tpu.geometry.laplacian import graph_laplacian
+from gravomg_tpu.hierarchy import Hierarchy
+from gravomg_tpu.apps.poisson import poisson_hierarchy
+from gravomg_tpu.solve.vcycle import SolverHierarchy, v_cycle
+
+# Pinned Ritz value for degenerate search directions: far above any
+# Laplacian eigenvalue, far below f32 overflow.
+_DEGENERATE = 1e12
+# Relative Gram-eigenvalue threshold below which a direction is
+# considered degenerate (f32 roundoff floor with headroom).
+_RANK_TOL = 1e-6
+
+
+def _b_orthonormalize(mass: jax.Array, v: jax.Array) -> jax.Array:
+    """An M-orthonormal basis of span(v) (M diagonal).
+
+    Whitens with the Gram eigendecomposition; near-null Gram directions
+    get a unit scale instead of a 1/sqrt blow-up, leaving harmless
+    near-zero columns (the Rayleigh-Ritz pinning below keeps them out
+    of the answer).  Column order is NOT preserved -- use only on the
+    W/P basis blocks, never on the Ritz block X.
+    """
+    g = v.T @ (mass[:, None] * v)
+    d, q = jnp.linalg.eigh(g)
+    dsafe = jnp.where(d > _RANK_TOL * jnp.max(d), d, 1.0)
+    return v @ (q * jax.lax.rsqrt(dsafe))
+
+
+def _project_out(mass: jax.Array, basis: jax.Array,
+                 v: jax.Array) -> jax.Array:
+    """Remove the M-projection onto ``basis`` (M-orthonormal columns)."""
+    return v - basis @ (basis.T @ (mass[:, None] * v))
+
+
+def _rayleigh_ritz(ga: jax.Array, gb: jax.Array,
+                   k: int) -> Tuple[jax.Array, jax.Array]:
+    """k smallest eigenpairs of the dense pencil (ga, gb), gb PSD.
+
+    Degenerate gb directions (rank-deficient search block) are pinned
+    to ``_DEGENERATE`` so they sort to the top and can never displace a
+    true pair at the small end -- the failure mode of jittered-Cholesky
+    whitening.
+    """
+    d, q = jnp.linalg.eigh(gb)
+    good = d > _RANK_TOL * jnp.max(d)
+    dsafe = jnp.where(good, d, 1.0)
+    wh = q * jax.lax.rsqrt(dsafe)                      # whitening basis
+    c = wh.T @ ga @ wh
+    gm = good.astype(c.dtype)
+    c = c * gm[:, None] * gm[None, :] + jnp.diag(
+        jnp.where(good, 0.0, _DEGENERATE).astype(c.dtype))
+    theta, y = jnp.linalg.eigh(c)
+    vecs = wh @ y
+    return theta[:k], vecs[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "use_p"))
+def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
+                 cfg: MultigridConfig, k: int, use_p: bool):
+    """One preconditioned Rayleigh-Ritz step on the block [X, W, (P)].
+
+    x: (V, k) current M-orthonormal Ritz block; p: (V, k) previous
+    search step.  Returns (x_new, p_new, ritz_values, residual_norms).
+    """
+    from gravomg_tpu.solve.spmv import spmv
+
+    ax = spmv(lap, x)
+    lam = jnp.sum(x * ax, axis=0)                    # X is M-orthonormal
+    r = ax - (mass[:, None] * x) * lam[None, :]
+    # Scale-relative residual: the nullspace pair has lam ~ 0, so
+    # normalize by the largest Ritz value, not per-column lam.
+    resnorm = jnp.linalg.norm(r, axis=0) / jnp.maximum(
+        jnp.max(jnp.abs(lam)), 1e-12)
+    # Multigrid preconditioner: one V-cycle on the whole residual block.
+    w = v_cycle(hs, jnp.zeros_like(r), r, cfg)
+    w = _b_orthonormalize(mass, _project_out(mass, x, w))
+    if use_p:
+        pb = _project_out(mass, x, p)
+        pb = pb - w @ (w.T @ (mass[:, None] * pb))
+        s = jnp.concatenate([x, w, _b_orthonormalize(mass, pb)], axis=1)
+    else:
+        s = jnp.concatenate([x, w], axis=1)
+    as_ = spmv(lap, s)
+    ga = s.T @ as_
+    gb = s.T @ (mass[:, None] * s)
+    theta, y = _rayleigh_ritz(ga, gb, k)
+    # Ritz vectors are gb-orthonormal by construction: use them
+    # directly (a re-orthonormalization would scramble the column <->
+    # eigenvalue correspondence).  Per-step recomputed Grams absorb the
+    # f32 drift.
+    x_new = s @ y
+    # P = the W/P component of the update (classic LOBPCG three-term
+    # recurrence): drop X's contribution so P spans the search step.
+    y_tail = y.at[:k].set(0.0)
+    p_new = s @ y_tail
+    return x_new, p_new, theta, resnorm
+
+
+def laplace_eigs(graph: Graph, k: int = 8,
+                 cfg: MultigridConfig = MultigridConfig(),
+                 h: Optional[Hierarchy] = None, alpha: float = 0.5,
+                 weighting: str = "invdist", iters: int = 40,
+                 tol: float = 1e-5, seed: int = 0):
+    """k smallest eigenpairs of (L, M) on a kNN graph.
+
+    Builds (or reuses via ``h``) the screened-Poisson hierarchy
+    L + alpha*M as the preconditioner -- its V-cycle approximates
+    (L + alpha*M)^{-1}, spectrally equivalent to L^{-1} on the low end,
+    which is what LOBPCG needs.  Returns (eigenvalues (k,),
+    eigenvectors (V, k), residual norms (k,)); eigenvectors are
+    M-orthonormal.  The first pair is the Laplacian nullspace
+    (lam ~ 0, constant vector).
+
+    tol is on ||L v - lam M v|| / lam_max, checked host-side between
+    jitted steps (watchdog-safe single-step launches).
+    """
+    lap, mass = graph_laplacian(graph, weighting)
+    if h is None:
+        h = poisson_hierarchy(graph, alpha=alpha, cfg=cfg)
+    n = lap.num_vertices
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n, k), lap.diag.dtype)
+    # Seed with the known nullspace direction: column 0 <- constants.
+    x = x.at[:, 0].set(1.0)
+    x = _b_orthonormalize(mass, x)
+    p = jnp.zeros_like(x)
+    theta = jnp.zeros((k,), lap.diag.dtype)
+    resnorm = jnp.full((k,), jnp.inf, lap.diag.dtype)
+    step = functools.partial(_lobpcg_step, h.solver, lap, mass)
+    for it in range(iters):
+        x, p, theta, resnorm = step(x, p, cfg, k, it > 0)
+        if bool(jnp.max(resnorm) < tol):
+            break
+    # The in-step residual lags one iteration behind (it is measured on
+    # the entry block); recompute for the returned pairs.
+    from gravomg_tpu.solve.spmv import spmv
+    r = spmv(lap, x) - (mass[:, None] * x) * theta[None, :]
+    resnorm = jnp.linalg.norm(r, axis=0) / jnp.maximum(
+        jnp.max(jnp.abs(theta)), 1e-12)
+    return theta, x, resnorm

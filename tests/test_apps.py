@@ -83,3 +83,53 @@ def test_refit_hierarchy_reuse(rng):
     true_rel = float(jnp.linalg.norm(g.spmv(new_op, x) - b)
                      / jnp.linalg.norm(b))
     assert true_rel < 1e-6
+
+
+def test_laplace_eigs_match_dense_oracle(rng):
+    # MG-preconditioned LOBPCG vs a dense f64 generalized eigensolve of
+    # the same (L, M) pencil (BASELINE config 5 "spectral" workload).
+    from gravomg_tpu.apps.spectral import laplace_eigs
+    import scipy.linalg as sla
+
+    graph = _sphere(rng, sub=2)
+    cfg = g.MultigridConfig(coarse_threshold=64, smoother="chebyshev")
+    k = 6
+    lams, vecs, res = laplace_eigs(graph, k=k, cfg=cfg, iters=60,
+                                   tol=1e-7)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    n = graph.num_vertices
+    dense = np.zeros((n, n))
+    nb = np.asarray(lap.neighbors)
+    w = np.asarray(lap.offdiag, np.float64)
+    msk = np.asarray(lap.mask)
+    for i in range(n):
+        dense[i, nb[i][msk[i]]] = w[i][msk[i]]
+    dense[np.arange(n), np.arange(n)] = np.asarray(lap.diag, np.float64)
+    ref = sla.eigh(dense, np.diag(np.asarray(mass, np.float64)),
+                   eigvals_only=True, subset_by_index=[0, k - 1])
+    lams = np.asarray(lams, np.float64)
+    # Nullspace pair: lam0 ~ 0 for both.
+    assert abs(lams[0]) < 1e-5 * ref[k - 1]
+    assert abs(ref[0]) < 1e-9 * ref[k - 1]
+    # Nonzero eigenvalues to f32-appropriate relative accuracy.
+    rel_err = np.abs(lams[1:] - ref[1:]) / ref[1:]
+    assert rel_err.max() < 1e-3, (lams, ref)
+    # Eigenvectors satisfy the pencil equation.
+    mv = np.asarray(mass, np.float64)[:, None] * np.asarray(vecs)
+    lres = dense @ np.asarray(vecs) - mv * lams[None, :]
+    assert np.linalg.norm(lres, axis=0).max() < 1e-3
+
+
+def test_laplace_eigs_reuses_hierarchy(rng):
+    from gravomg_tpu.apps.spectral import laplace_eigs
+
+    graph = _sphere(rng, sub=2)
+    cfg = g.MultigridConfig(coarse_threshold=64)
+    h = poisson_hierarchy(graph, alpha=0.5, cfg=cfg)
+    lams, vecs, res = laplace_eigs(graph, k=4, cfg=cfg, h=h, iters=40)
+    assert float(jnp.max(res[1:])) < 1e-4
+    # M-orthonormal block.
+    _, mass = g.graph_laplacian(graph, "invdist")
+    gram = np.asarray(vecs).T @ (np.asarray(mass)[:, None]
+                                 * np.asarray(vecs))
+    assert np.abs(gram - np.eye(4)).max() < 1e-4
