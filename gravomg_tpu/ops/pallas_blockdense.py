@@ -40,6 +40,27 @@ from jax.experimental.pallas import tpu as pltpu
 from gravomg_tpu.ops.blockdense import BlockDenseOperator
 
 
+def pick_group(nblk: int, bytes_per_block: int,
+               budget_bytes: int) -> int:
+    """Rows-blocks per grid step for a BLOCKED (group, ...) out spec.
+
+    Mosaic requires the out block's second-minor dim (``group``) to be
+    divisible by 8 OR equal to the whole-array dim (``nblk``) -- the
+    constraint that faulted the first 1M run when the out spec was
+    unblocked.  Prefer the largest multiple of 8 dividing nblk whose M
+    slab stays under ``budget_bytes`` (amortizes the measured ~0.5 us
+    per-grid-step cost); fall back to the whole array.
+    """
+    budget = max(8, budget_bytes // max(bytes_per_block, 1))
+    group = nblk
+    g = 8
+    while g <= min(nblk, budget):
+        if nblk % g == 0:
+            group = g
+        g += 8
+    return group
+
+
 def _matvec_kernel(ws_ref, x_ref, m_ref, o_ref, scr_ref, *, nw: int,
                    window: int, window0: int, acc_dtype, blk: int,
                    group: int):
@@ -105,20 +126,10 @@ def blockdense_matvec_pallas(op: BlockDenseOperator, x: jax.Array,
     r = op.n_rows
     acc = jnp.promote_types(op.m.dtype, jnp.float32)
     if group <= 0:
-        # Target ~0.5-1 MB of M per grid step (amortizes the measured
-        # ~0.5 us per-step cost without bloating VMEM double buffers).
-        # The blocked OUTPUT spec needs group % 8 == 0 (Mosaic tiling)
-        # or group == nblk; prefer the largest valid multiple of 8
-        # under the budget, else fall back to the whole array (fine for
-        # small nblk -- the unblocked-out form was the 22 MB scoped-
-        # VMEM OOM only at nblk ~ 43k).
-        budget = max(8, (1 << 19) // max(blk * nww * 4, 1))
-        group = nblk
-        g = 8
-        while g <= min(nblk, budget):
-            if nblk % g == 0:
-                group = g
-            g += 8
+        # Target ~0.5 MB of M per grid step; see pick_group for the
+        # Mosaic constraint (the unblocked-out form was the 22 MB
+        # scoped-VMEM OOM at nblk ~ 43k).
+        group = pick_group(nblk, blk * nww * 4, 1 << 19)
     else:
         while nblk % group:
             group -= 1
@@ -210,16 +221,9 @@ def mxu_matvec_pallas(mt: jax.Array, seg_rows: jax.Array, x: jax.Array,
     nblk, nseg = seg_rows.shape
     acc = jnp.promote_types(mt.dtype, jnp.float32)
     if group <= 0:
-        # Same group rule as the VPU kernel: multiple of 8 (Mosaic
-        # block tiling for the blocked output) under a VMEM budget,
-        # else the whole array.
-        budget = max(8, (1 << 20) // max(nseg * 65536, 1))
-        group = nblk
-        g = 8
-        while g <= min(nblk, budget):
-            if nblk % g == 0:
-                group = g
-            g += 8
+        # Same group rule as the VPU kernel (see pick_group), with the
+        # larger per-tile footprint of the 128x128 segments.
+        group = pick_group(nblk, nseg * 65536, 1 << 20)
     else:
         while nblk % group:
             group -= 1

@@ -186,3 +186,44 @@ def test_mxu_slab_matches_uniform(rng):
     y_p = (ycat[np.asarray(sop.inv_block_perm)].reshape(-1)[:r]
            + diag * x[:r])
     np.testing.assert_allclose(y_p, y_u, atol=2e-6 * scale)
+
+
+def test_pick_group_satisfies_mosaic_blockspec_rules():
+    """Regression for the 1M launch fault: every auto-chosen group must
+    give a Mosaic-legal blocked out spec -- group divides nblk AND
+    (group % 8 == 0 or group == nblk)."""
+    from gravomg_tpu.ops.pallas_blockdense import pick_group
+
+    cases = [(n, bpb, bud)
+             for n in list(range(1, 21)) + [33, 69, 97, 276, 2208,
+                                            8200, 43003]
+             for bpb in (8 * 128 * 4, 256 * 1408 * 4, 2 * 65536)
+             for bud in (1 << 19, 1 << 20)]
+    for nblk, bytes_per_block, budget in cases:
+        gp = pick_group(nblk, bytes_per_block, budget)
+        assert nblk % gp == 0, (nblk, gp)
+        assert gp % 8 == 0 or gp == nblk, (nblk, gp)
+    # The shape that faulted the first 1M run (2208 blocks of (8, 128))
+    # must come out blocked, not whole-array (whole-array was the
+    # 22 MB scoped-VMEM OOM at 43k blocks).
+    gp = pick_group(2208, 8 * 128 * 4, 1 << 19)
+    assert gp % 8 == 0 and gp < 2208
+
+
+def test_pallas_whole_array_group_fallback(rng):
+    """nblk with no multiple-of-8 divisor exercises the group == nblk
+    fallback end-to-end (interpret mode)."""
+    r = nc = 328                       # 41 blocks of 8: 41 is prime
+    cols, vals, valid = _tailed_ell(rng, r=r, k=6, nc=nc)
+    x = rng.normal(size=nc).astype(np.float32)
+    bop, _overflow = blockdense_from_ell(
+        jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(valid), nc,
+        block=8, window=128, align=128)
+    from gravomg_tpu.ops.pallas_blockdense import (blockdense_matvec_pallas,
+                                                   pick_group)
+    assert pick_group(41, bop.m.shape[1] * bop.m.shape[2] * 4,
+                      1 << 19) == 41
+    y_ref = np.asarray(blockdense_matvec(bop, jnp.asarray(x)))
+    y_p = np.asarray(blockdense_matvec_pallas(bop, jnp.asarray(x),
+                                              interpret=True))
+    np.testing.assert_allclose(y_p, y_ref, atol=1e-6 * np.abs(y_ref).max())
