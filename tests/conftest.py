@@ -24,6 +24,11 @@ def _needs_reexec() -> bool:
         return True
     if "axon_site" in os.environ.get("PYTHONPATH", ""):
         return True
+    # An otherwise-correct env (e.g. JAX_PLATFORMS=cpu set by hand)
+    # still needs the 8 virtual devices the sharding tests assert on.
+    if ("xla_force_host_platform_device_count"
+            not in os.environ.get("XLA_FLAGS", "")):
+        return True
     return False
 
 
