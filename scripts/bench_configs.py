@@ -91,7 +91,10 @@ def pipeline(pts, k, cfg):
     t_build = time.perf_counter() - t0
     assert not bool(short)
     check_diagnostics(diags)
-    sol = g.attach_fast_operators(compact_solver(h.solver, diags))
+    # Same operator stack as the headline bench: bucketed slab kernels
+    # on the large levels, uniform block-dense on the rest.
+    sol = compact_solver(h.solver, diags)
+    sol = g.attach_fast_operators(g.attach_slab_operators(sol))
     return graph, spd, h, sol, t_build, [int(d.n_real) for d in diags]
 
 
