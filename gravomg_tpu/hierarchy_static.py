@@ -87,7 +87,7 @@ def build_hierarchy_device(
         rap_cap: int = 128, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
-        sampling_seed: int = 0,
+        sampling_seed: int = 0, rap_local: bool = False,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -190,7 +190,14 @@ def build_hierarchy_device(
             cols=jnp.where(fine_valid[:, None], u.cols, 0),
             weights=jnp.where(fine_valid[:, None], u.weights, 0.0))
 
-        coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
+        if rap_local:
+            # Sort-local two-phase RAP (solve/rap2.py): lane merges
+            # instead of the 9*nnz global lexsort; same operator.
+            from gravomg_tpu.solve.rap2 import galerkin_rap_local
+            coarse_op, r_ovf = galerkin_rap_local(
+                op, u, min(rap_cap, cap))
+        else:
+            coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
 
         stats = HierarchyStats(
             n_fine=g.num_vertices, n_coarse=n_real,

@@ -1,0 +1,186 @@
+"""Sort-local Galerkin RAP: A_c = U^T (A U) with lane-axis merges.
+
+The baseline :func:`gravomg_tpu.solve.rap.galerkin_rap` emits all
+9 * nnz(A) triplet contributions into one flat stream and merges them
+with a GLOBAL sort (~59M elements at 200k vertices, measured 1.2 s on
+the TPU; ~290M at 1M).  This variant never builds the global stream:
+
+  Phase 1 (Y = A U):  each fine row's candidate (coarse col, value)
+     pairs -- 3 per neighbor plus 3 diagonal terms, (K+1)*3 total --
+     are merged *within the row* by a lane-axis co-sort
+     (``lax.sort`` over axis 1, operands co-sorted, no gathers) plus a
+     cumulative-sum run-total trick.  Cost: two bitonic lane sorts of
+     width ~(K+1)*3 instead of a global sort of V*(K+1)*9 elements.
+
+  Phase 2 (A_c = U^T Y):  the precomputed restriction children table
+     (:func:`gravomg_tpu.prolong.operator.build_restriction`, the same
+     gather-form U^T the V-cycle uses) groups fine rows by coarse row;
+     each coarse row gathers its <= max_children Y rows (2-D row
+     gathers, looped over the child slot to avoid 3-D tile padding)
+     and lane-merges the max_children * y_width candidates.
+
+All heavy steps are elementwise ops, lane-axis sorts, and row gathers
+-- no scatters, no global sorts -- so each level's RAP is one bounded
+launch well under the device watchdog.
+
+Semantics are identical to ``galerkin_rap`` as a linear operator
+(dense equality tested); ELL slot *order* may differ.  Solver context:
+the reference fork has no solver (SURVEY.md section 0); the Galerkin
+product is the standard construction over the reference's U
+(`src/multigrid.cpp:265-498` fixes U's <=3 nnz/row invariant that
+bounds every width here).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gravomg_tpu.types import (EllOperator, Prolongation, Restriction,
+                               INVALID_INDEX)
+
+
+def _ffill(vals: jax.Array, keep: jax.Array) -> jax.Array:
+    """Forward-fill along axis 1: out[t] = vals[s] for the most recent
+    s <= t with keep[s], else 0.  log-depth associative scan, all
+    elementwise."""
+
+    def comb(a, b):
+        ma, va = a
+        mb, vb = b
+        return ma | mb, jnp.where(mb, vb, va)
+
+    _, v = jax.lax.associative_scan(
+        comb, (keep, jnp.where(keep, vals, 0.0)), axis=1)
+    return v
+
+
+def lane_merge(cols: jax.Array, vals: jax.Array,
+               out_width: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-row dedup-and-add of (col, val) candidate pairs.
+
+    cols: (R, W) int32, INVALID_INDEX marks absent slots (they sort to
+    the end -- INVALID_INDEX is int32 max).  Returns (cols (R, out),
+    vals (R, out), overflow) where overflow means some row had more
+    than out_width distinct columns.
+    """
+    r, w = cols.shape
+    vals = jnp.where(cols == INVALID_INDEX, 0.0, vals)
+    key_s, val_s = jax.lax.sort((cols, vals), dimension=1, num_keys=1)
+    valid = key_s != INVALID_INDEX
+    tr = jnp.ones((r, 1), bool)
+    first = jnp.concatenate([tr, key_s[:, 1:] != key_s[:, :-1]], axis=1)
+    first = first & valid
+    last = jnp.concatenate([key_s[:, :-1] != key_s[:, 1:], tr], axis=1)
+    last = last & valid
+    s = jnp.cumsum(val_s, axis=1)
+    sprev = jnp.concatenate([jnp.zeros((r, 1), s.dtype), s[:, :-1]],
+                            axis=1)
+    base = _ffill(jnp.where(first, sprev, 0.0), first)
+    totals = (s - base).astype(vals.dtype)         # meaningful at `last`
+    seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.any(last & (seg >= out_width))
+    outkey = jnp.where(last, seg, INVALID_INDEX)
+    k2, c2, v2 = jax.lax.sort((outkey, key_s, totals), dimension=1,
+                              num_keys=1)
+    if w < out_width:
+        pad = out_width - w
+        k2 = jnp.pad(k2, ((0, 0), (0, pad)),
+                     constant_values=INVALID_INDEX)
+        c2 = jnp.pad(c2, ((0, 0), (0, pad)),
+                     constant_values=INVALID_INDEX)
+        v2 = jnp.pad(v2, ((0, 0), (0, pad)))
+    live = k2[:, :out_width] != INVALID_INDEX
+    cols_out = jnp.where(live, c2[:, :out_width], INVALID_INDEX)
+    vals_out = jnp.where(live, v2[:, :out_width], 0.0)
+    return cols_out, vals_out, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("y_width",))
+def _au_local(op: EllOperator, u: Prolongation, y_width: int):
+    """Phase 1: Y = A U as per-fine-row (y_width) merged ELL."""
+    vf, k = op.neighbors.shape
+    safe = op.safe_neighbors()
+    a_off = jnp.where(op.mask, op.offdiag, 0.0)
+    cols_l, vals_l = [], []
+    for b in range(3):
+        # 2-D temps only: a (Vf, K, 3) gather tile-pads its minor dims
+        # ~57x on TPU (PROGRESS.md).
+        cb = u.cols[:, b][safe]                        # (Vf, K)
+        cols_l.append(jnp.where(op.mask, cb, INVALID_INDEX))
+        vals_l.append(a_off * u.weights[:, b][safe])
+    cols_l.append(u.cols)                              # diagonal terms
+    vals_l.append(op.diag[:, None] * u.weights)
+    cand_cols = jnp.concatenate(cols_l, axis=1)        # (Vf, 3K + 3)
+    cand_vals = jnp.concatenate(vals_l, axis=1)
+    return lane_merge(cand_cols, cand_vals, y_width)
+
+
+@functools.partial(jax.jit, static_argnames=("n_coarse", "max_degree"))
+def _uty_local(y_cols: jax.Array, y_vals: jax.Array, rt: Restriction,
+               n_coarse: int, max_degree: int):
+    """Phase 2: A_c = U^T Y via the children table."""
+    m = rt.rows.shape[1]
+    safe = rt.safe_rows()
+    tmask = rt.rows != INVALID_INDEX
+    cols_l, vals_l = [], []
+    for j in range(m):                 # loop child slots: 2-D temps
+        rows_j = safe[:, j]
+        cj = y_cols[rows_j]                            # (nc, y_width)
+        vj = y_vals[rows_j] * rt.weights[:, j][:, None]
+        cols_l.append(jnp.where(tmask[:, j][:, None], cj, INVALID_INDEX))
+        vals_l.append(vj)
+    cand_cols = jnp.concatenate(cols_l, axis=1)        # (nc, m * yw)
+    cand_vals = jnp.concatenate(vals_l, axis=1)
+    cols, vals, ovf = lane_merge(cand_cols, cand_vals, max_degree + 1)
+    # Split the diagonal out of the merged rows.
+    nc = n_coarse
+    is_diag = cols == jnp.arange(nc, dtype=jnp.int32)[:, None]
+    diag = jnp.sum(jnp.where(is_diag, vals, 0.0), axis=1)
+    off_cols = jnp.where(is_diag, INVALID_INDEX, cols)
+    off_vals = jnp.where(is_diag, 0.0, vals)
+    order = jnp.argsort(off_cols, axis=1, stable=True)
+    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
+    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
+    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
+    return out, ovf
+
+
+def galerkin_rap_local(op: EllOperator, u: Prolongation, max_degree: int,
+                       y_width: int = 0, max_children: int = 0
+                       ) -> Tuple[EllOperator, jax.Array]:
+    """Sort-local A_c = U^T A U.  Drop-in for ``galerkin_rap`` (same
+    operator up to ELL slot order; phantom rows get the same identity
+    diagonal).  y_width / max_children <= 0 pick working defaults and
+    retry with doubled caps on overflow (each cap is data-dependent:
+    distinct coarse parents per fine neighborhood, fine children per
+    coarse cell)."""
+    from gravomg_tpu.prolong.operator import build_restriction
+    from gravomg_tpu.solve.rap import _phantom_identity
+
+    vf = op.num_vertices
+    nc = u.n_coarse
+    yw = y_width if y_width > 0 else 16
+    mc = max_children if max_children > 0 else max(8, -(-4 * 3 * vf // nc))
+    for _ in range(4):
+        rt, r_ovf = build_restriction(u, mc)
+        if bool(r_ovf):
+            mc *= 2
+            continue
+        y_cols, y_vals, y_ovf = _au_local(op, u, yw)
+        if bool(y_ovf):
+            yw *= 2
+            continue
+        out, ovf = _uty_local(y_cols, y_vals, rt, nc, max_degree)
+        out = out._replace(diag=_phantom_identity(out))
+        return out, ovf
+    # Caps kept overflowing: signal failure the way the baseline does
+    # (an all-empty operator would corrupt the hierarchy silently).
+    empty = EllOperator(
+        neighbors=jnp.full((nc, max_degree), INVALID_INDEX, jnp.int32),
+        offdiag=jnp.zeros((nc, max_degree), op.offdiag.dtype),
+        diag=jnp.ones((nc,), op.diag.dtype))
+    return empty, jnp.bool_(True)

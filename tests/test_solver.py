@@ -277,3 +277,53 @@ def test_fmg_initial_guess_cuts_pcg_iterations(rng):
     _, rel_b, it_b = g.mg_pcg(h.solver, b, cfg, x0=x0)
     assert float(rel_b) < cfg.tolerance
     assert int(it_b) <= int(it_a)
+
+
+def test_galerkin_rap_local_matches_full(rng):
+    # Sort-local two-phase RAP (lane merges + children table) must
+    # equal the global-sort baseline as a dense operator, including on
+    # a hierarchy-shaped U (3 nnz/row, random columns) and with padded
+    # coarse rows (phantom identity diagonal).
+    from gravomg_tpu.solve.rap2 import galerkin_rap_local
+    op, dense = _random_ell_spd(rng, n=300)
+    nc = 40
+    cols = rng.integers(0, nc, size=(300, 3)).astype(np.int32)
+    w = rng.random(size=(300, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc + 5)
+    full, o1 = g.galerkin_rap(op, u, nc + 5)
+    local, o2 = galerkin_rap_local(op, u, nc + 5)
+    assert not bool(o1) and not bool(o2)
+    np.testing.assert_allclose(np.asarray(local.as_dense()),
+                               np.asarray(full.as_dense()),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_lane_merge_oracle(rng):
+    from gravomg_tpu.solve.rap2 import lane_merge
+    r, w, ncol = 50, 24, 12
+    cols = rng.integers(0, ncol, size=(r, w)).astype(np.int32)
+    vals = rng.normal(size=(r, w))
+    absent = rng.random((r, w)) < 0.3
+    cols = np.where(absent, g.INVALID_INDEX, cols)
+    vals = np.where(absent, 0.0, vals)
+    oc, ov, ovf = lane_merge(jnp.asarray(cols), jnp.asarray(vals), ncol)
+    assert not bool(ovf)
+    got = np.zeros((r, ncol))
+    oc, ov = np.asarray(oc), np.asarray(ov)
+    for i in range(r):
+        for j in range(oc.shape[1]):
+            if oc[i, j] != g.INVALID_INDEX:
+                got[i, oc[i, j]] += ov[i, j]
+        # distinct columns per row
+        live = oc[i][oc[i] != g.INVALID_INDEX]
+        assert len(set(live.tolist())) == len(live)
+    expect = np.zeros((r, ncol))
+    for i in range(r):
+        for j in range(w):
+            if not absent[i, j]:
+                expect[i, cols[i, j]] += vals[i, j]
+    np.testing.assert_allclose(got, expect, rtol=1e-12, atol=1e-12)
+    # Overflow flag: out_width smaller than distinct count must trip.
+    _, _, ovf2 = lane_merge(jnp.asarray(cols), jnp.asarray(vals), 2)
+    assert bool(ovf2)
