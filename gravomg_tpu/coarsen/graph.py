@@ -58,3 +58,62 @@ def coarse_graph(columns: jax.Array, coarse_points: jax.Array) -> Graph:
         coarse_points[:, None, :] - coarse_points[safe], axis=-1)
     dist = jnp.where(mask, dist.astype(coarse_points.dtype), jnp.inf)
     return Graph(neighbors=columns, distances=dist, points=coarse_points)
+
+
+@functools.partial(jax.jit, static_argnames=("n_coarse", "max_degree",
+                                             "max_children"))
+def _ece_local(graph: Graph, parents: jax.Array, fine_valid: jax.Array,
+               n_coarse: int, max_degree: int, max_children: int):
+    from gravomg_tpu.ops.segment import group_ordered
+    from gravomg_tpu.solve.rap2 import lane_merge
+
+    v, k = graph.neighbors.shape
+    ids = jnp.arange(v, dtype=jnp.int32)
+    table, _, t_ovf = group_ordered(parents.astype(jnp.int32), ids,
+                                    fine_valid, n_coarse, max_children)
+    # Parents of each fine vertex's neighbors, invalid slots masked, so
+    # one row gather per child slot suffices below.
+    pn = jnp.where(graph.mask, parents[graph.safe_neighbors()],
+                   INVALID_INDEX)
+    tmask = table != INVALID_INDEX
+    safe = jnp.where(tmask, table, 0)
+    row_p = jnp.arange(n_coarse, dtype=jnp.int32)[:, None]
+    cand_l = []
+    for j in range(max_children):            # 2-D temps per child slot
+        cj = pn[safe[:, j]]                                # (nc, K)
+        cj = jnp.where(tmask[:, j][:, None] & (cj != row_p), cj,
+                       INVALID_INDEX)
+        cand_l.append(cj)
+    cand = jnp.concatenate(cand_l, axis=1)                 # (nc, mc*K)
+    cols, _, m_ovf = lane_merge(cand, jnp.zeros(cand.shape, jnp.float32),
+                                max_degree)
+    return cols, t_ovf, m_ovf
+
+
+def extract_coarse_edges_local(graph: Graph, parents: jax.Array,
+                               n_coarse: int, max_degree: int,
+                               fine_valid=None, max_children: int = 0
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Sort-local variant of :func:`extract_coarse_edges`.
+
+    Groups fine vertices by parent (a V-element sort instead of the
+    V*K-element global sort) and lane-merges each coarse row's
+    candidate neighbor-parents (``max_children * K`` wide; see
+    solve/rap2.py for the merge).  Identical pattern contract; the
+    children cap doubles on overflow (data-dependent cell sizes).
+    """
+    v, _ = graph.neighbors.shape
+    if fine_valid is None:
+        fine_valid = jnp.ones((v,), bool)
+    mc = (max_children if max_children > 0
+          else max(8, -(-4 * v // max(n_coarse, 1))))
+    for _ in range(4):
+        cols, t_ovf, m_ovf = _ece_local(graph, parents, fine_valid,
+                                        n_coarse, max_degree, mc)
+        if not bool(t_ovf):
+            # A merge overflow means the coarse row genuinely exceeds
+            # max_degree -- the caller's cap decision, same contract as
+            # the baseline's returned overflow flag.
+            return cols, m_ovf
+        mc *= 2
+    return cols, t_ovf | m_ovf

@@ -87,7 +87,7 @@ def build_hierarchy_device(
         rap_cap: int = 128, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
-        sampling_seed: int = 0, rap_local: bool = False,
+        sampling_seed: int = 0, sort_local: bool = False,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -173,8 +173,16 @@ def build_hierarchy_device(
             bd_ovf = bd_ovf | p_ovf2
         else:
             parents, _ = assign_parents(g, samples)
-        columns, e_ovf = extract_coarse_edges(
-            g, parents, cap, min(kc_cap, cap - 1), fine_valid=fine_valid)
+        if sort_local:
+            from gravomg_tpu.coarsen.graph import \
+                extract_coarse_edges_local
+            columns, e_ovf = extract_coarse_edges_local(
+                g, parents, cap, min(kc_cap, cap - 1),
+                fine_valid=fine_valid)
+        else:
+            columns, e_ovf = extract_coarse_edges(
+                g, parents, cap, min(kc_cap, cap - 1),
+                fine_valid=fine_valid)
         coarse_points = coarse_from_mean_of_fine_children(
             g, parents, samples, fine_valid=fine_valid)
         cg = coarse_graph(columns, coarse_points)
@@ -190,7 +198,7 @@ def build_hierarchy_device(
             cols=jnp.where(fine_valid[:, None], u.cols, 0),
             weights=jnp.where(fine_valid[:, None], u.weights, 0.0))
 
-        if rap_local:
+        if sort_local:
             # Sort-local two-phase RAP (solve/rap2.py): lane merges
             # instead of the 9*nnz global lexsort; same operator.
             from gravomg_tpu.solve.rap2 import galerkin_rap_local

@@ -327,3 +327,21 @@ def test_lane_merge_oracle(rng):
     # Overflow flag: out_width smaller than distinct count must trip.
     _, _, ovf2 = lane_merge(jnp.asarray(cols), jnp.asarray(vals), 2)
     assert bool(ovf2)
+
+
+def test_extract_coarse_edges_local_matches_baseline(rng):
+    from gravomg_tpu.coarsen.graph import (extract_coarse_edges,
+                                           extract_coarse_edges_local)
+    from gravomg_tpu.geometry.meshes import torus_points
+
+    pts = jnp.asarray(torus_points(1500, seed=7))
+    graph = g.knn_graph(pts, k=10)
+    nc = 200
+    parents = jnp.asarray(
+        rng.integers(0, nc, size=graph.num_vertices).astype(np.int32))
+    fv = jnp.asarray(rng.random(graph.num_vertices) < 0.95)
+    a, o1 = extract_coarse_edges(graph, parents, nc, nc, fine_valid=fv)
+    b, o2 = extract_coarse_edges_local(graph, parents, nc, nc,
+                                       fine_valid=fv)
+    assert not bool(o1) and not bool(o2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
