@@ -36,7 +36,20 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-BENCH_N = int(os.environ.get("GRAVOMG_BENCH_N", "200000"))
+
+
+def _default_n() -> str:
+    # Prefer the 1M north-star headline (BASELINE.md) once its TPU
+    # slope artifact exists (the TPU-recovery watcher produces it);
+    # fall back to the 200k config otherwise.  GRAVOMG_BENCH_N always
+    # overrides.
+    if os.path.exists(os.path.join(CACHE,
+                                   "tpu_slope_v3_1000000_2_12_32.json")):
+        return "1000000"
+    return "200000"
+
+
+BENCH_N = int(os.environ.get("GRAVOMG_BENCH_N", _default_n()))
 N1 = int(os.environ.get("GRAVOMG_BENCH_C1", "2"))
 N2 = int(os.environ.get("GRAVOMG_BENCH_C2", "12"))
 N3 = int(os.environ.get("GRAVOMG_BENCH_C3", "32"))
@@ -438,8 +451,21 @@ def cpu_baseline(n: int) -> dict:
 def main():
     meta = cpu_baseline(BENCH_N)
     r = run_tpu(BENCH_N, N1, N2, N3)
-    warm = run_warm_build(BENCH_N)
-    bexec = run_build_exec(BENCH_N)
+    # The auxiliary build timings must not take the headline down with
+    # them: a dead TPU tunnel (or a watchdog fault in one probe) still
+    # leaves a valid cached slope artifact to report.
+    try:
+        warm = run_warm_build(BENCH_N)
+    except Exception as e:  # noqa: BLE001
+        print(f"# warm-build probe failed: {type(e).__name__}",
+              file=sys.stderr)
+        warm = {"t_build_warm": float("nan")}
+    try:
+        bexec = run_build_exec(BENCH_N)
+    except Exception as e:  # noqa: BLE001
+        print(f"# build-exec probe failed: {type(e).__name__}",
+              file=sys.stderr)
+        bexec = {"build_exec_s": float("nan")}
     bcpu = cpu_build_baseline(BENCH_N)
     tpu_ms = max(r["slope_s"] * 1000, 1e-4)
     out = {
