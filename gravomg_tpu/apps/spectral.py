@@ -164,6 +164,9 @@ def laplace_eigs(graph: Graph, k: int = 8,
     lap, mass = graph_laplacian(graph, weighting)
     if h is None:
         h = poisson_hierarchy(graph, alpha=alpha, cfg=cfg)
+    # Accept either the full Hierarchy or a bare SolverHierarchy (e.g.
+    # a compacted device-built solver with fast operators attached).
+    solver = h.solver if hasattr(h, "solver") else h
     n = lap.num_vertices
     key = jax.random.PRNGKey(seed)
     x = jax.random.normal(key, (n, k), lap.diag.dtype)
@@ -173,7 +176,7 @@ def laplace_eigs(graph: Graph, k: int = 8,
     p = jnp.zeros_like(x)
     theta = jnp.zeros((k,), lap.diag.dtype)
     resnorm = jnp.full((k,), jnp.inf, lap.diag.dtype)
-    step = functools.partial(_lobpcg_step, h.solver, lap, mass)
+    step = functools.partial(_lobpcg_step, solver, lap, mass)
     for it in range(iters):
         x, p, theta, resnorm = step(x, p, cfg, k, it > 0)
         if bool(jnp.max(resnorm) < tol):

@@ -250,8 +250,31 @@ def c5b_meshes64():
           "per_mesh_ms": round(t_batch / nb * 1000, 3)})
 
 
+def c6_spectral():
+    """MG-preconditioned block LOBPCG: 12 lowest Laplace eigenpairs on
+    a 100k cloud (the other half of BASELINE config 5's "spectral /
+    curvature-flow stepping")."""
+    from gravomg_tpu.apps.spectral import laplace_eigs
+    n = sz(100_000)
+    k = 12
+    pts = torus_points(n, seed=6)
+    cfg = g.MultigridConfig(coarse_threshold=800, smoother="chebyshev")
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
+    t0 = time.perf_counter()
+    lams, vecs, res = laplace_eigs(graph, k=k, cfg=cfg, h=sol, iters=40,
+                                   tol=1e-5)
+    float(jnp.sum(vecs[:1, :1]))
+    t = time.perf_counter() - t0
+    emit({"config": "c6_spectral", "n": n, "k": k,
+          "t_build_s": round(t_build, 3),
+          "eigs_total_s": round(t, 3),
+          "max_resnorm": float(jnp.max(res)),
+          "lam_1": float(lams[1]), "lam_k": float(lams[-1]),
+          "nullspace_lam": float(lams[0])})
+
+
 ALL = {"c1": c1_sphere5k, "c2": c2_mesh35k, "c3": c3_heat170k,
-       "c5": c5_batch64, "c5b": c5b_meshes64}
+       "c5": c5_batch64, "c5b": c5b_meshes64, "c6": c6_spectral}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
