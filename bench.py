@@ -224,6 +224,13 @@ json.dump({"t_build": t_build, "t1": t1, "t2": t2, "t3": t3,
            "levels": [int(d.n_real) for d in diags],
            "shapes": [(l.op.num_vertices, l.op.max_degree)
                       for l in sol.levels]}, open(out, "w"))
+
+# Export the compacted solver so the CPU baseline runs its SciPy
+# V-cycles on the IDENTICAL hierarchy without re-running the (JAX-CPU,
+# ~hours at 1M on one core) device-build pipeline.  save_solver only
+# records op/u/cheb -- the attached fast forms are derived data.
+from gravomg_tpu.io.serialization import save_solver
+save_solver(sys.argv[5], sol)
 """
 
 # Warm build: runs in a fresh subprocess AFTER the main script has
@@ -297,39 +304,59 @@ import scipy.sparse as sp
 import scipy.linalg as sla
 
 n, out_json = int(sys.argv[1]), sys.argv[2]
-# MEASURED at full size (VERDICT r2 Weak #5: no linear extrapolation;
-# an explicit cap env remains for smoke runs only).
-nb = min(n, int(os.environ.get("GRAVOMG_BENCH_CPU_CAP", str(n))))
-pts = torus_points(nb, seed=1).astype(np.float32)
-pts = pts[morton_order(pts)]
-graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
-assert not bool(short)
-lap, mass = g.graph_laplacian(graph, "invdist")
-spd = lap._replace(diag=lap.diag + 0.5*mass)
+solver_npz = sys.argv[3] if len(sys.argv) > 3 else ""
 cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
-h, diags = build_hierarchy_device(graph, spd, cfg)
-check_diagnostics(diags)
-hs = compact_solver(h.solver, diags)
 
-def ell_to_csr(op):
-    v_, k_ = op.neighbors.shape
-    nbr = np.asarray(op.neighbors); off = np.asarray(op.offdiag)
-    mask = nbr != g.INVALID_INDEX
+def _ell_to_csr(nbr, off, diag):
+    v_, k_ = nbr.shape
+    mask = nbr != int(g.INVALID_INDEX)
     rows = np.repeat(np.arange(v_), k_)[mask.ravel()]
     cols = nbr.ravel()[mask.ravel()]
     m = sp.csr_matrix((off.ravel()[mask.ravel()], (rows, cols)),
                       shape=(v_, v_))
-    return m + sp.diags(np.asarray(op.diag))
+    return m + sp.diags(diag)
 
-def u_to_csr(u):
-    vf = u.cols.shape[0]
+def _u_to_csr(ucols, uw, n_coarse):
+    vf = ucols.shape[0]
     rows = np.repeat(np.arange(vf), 3)
-    return sp.csr_matrix((np.asarray(u.weights).ravel(),
-                          (rows, np.asarray(u.cols).ravel())),
-                         shape=(vf, u.n_coarse))
+    return sp.csr_matrix((uw.ravel(), (rows, ucols.ravel())),
+                         shape=(vf, n_coarse))
 
-As = [ell_to_csr(l.op) for l in hs.levels]
-Us = [u_to_csr(l.u) for l in hs.levels[:-1]]
+if solver_npz and os.path.exists(solver_npz):
+    # The TPU bench run exported its compacted solver: run the SciPy
+    # V-cycle on the IDENTICAL hierarchy (same levels, same nnz, same
+    # Chebyshev windows).  Avoids re-running the whole device-build
+    # pipeline on CPU JAX, which takes hours at 1M on one core.
+    nb = n
+    z = np.load(solver_npz)
+    nlev = int(z["n_levels"])
+    As = [_ell_to_csr(z[f"l{i}_nbr"], z[f"l{i}_off"],
+                      np.asarray(z[f"l{i}_diag"], np.float64))
+          for i in range(nlev)]
+    Us = [_u_to_csr(z[f"l{i}_ucols"], z[f"l{i}_uw"],
+                    int(z[f"l{i}_unc"])) for i in range(nlev - 1)]
+    cheb = [tuple(map(float, z[f"l{i}_cheb"]))
+            for i in range(nlev - 1)]
+else:
+    # MEASURED at full size (VERDICT r2 Weak #5: no linear
+    # extrapolation; an explicit cap env remains for smoke runs only).
+    nb = min(n, int(os.environ.get("GRAVOMG_BENCH_CPU_CAP", str(n))))
+    pts = torus_points(nb, seed=1).astype(np.float32)
+    pts = pts[morton_order(pts)]
+    graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
+    assert not bool(short)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5*mass)
+    h, diags = build_hierarchy_device(graph, spd, cfg)
+    check_diagnostics(diags)
+    hs = compact_solver(h.solver, diags)
+    As = [_ell_to_csr(np.asarray(l.op.neighbors), np.asarray(l.op.offdiag),
+                      np.asarray(l.op.diag)) for l in hs.levels]
+    Us = [_u_to_csr(np.asarray(l.u.cols), np.asarray(l.u.weights),
+                    l.u.n_coarse) for l in hs.levels[:-1]]
+    cheb = [(float(l.cheb.lam_min), float(l.cheb.lam_max))
+            for l in hs.levels[:-1]]
+
 Dinv = [1.0 / A.diagonal() for A in As]
 # Deep f32 RAP chains leave the coarsest operator slightly asymmetric
 # and indefinite in the last digits at 1M scale; symmetrize in f64 and
@@ -348,9 +375,6 @@ else:
 
 # Same smoother as the TPU path (Chebyshev of cfg.chebyshev_degree on
 # the Jacobi-preconditioned operator) so per-cycle work matches.
-cheb = [(float(l.cheb.lam_min), float(l.cheb.lam_max))
-        for l in hs.levels[:-1]]
-
 def smooth(lvl, x, b):
     A, dinv = As[lvl], Dinv[lvl]
     lo, hi = cheb[lvl]
@@ -388,14 +412,18 @@ json.dump({"cpu_vcycle_ms": cpu_ms, "baseline_n": nb}, open(out_json, "w"))
 """
 
 
+def solver_npz_path(n: int) -> str:
+    return os.path.join(CACHE, f"solver_v3_{n}.npz")
+
+
 def run_tpu(n: int, n1: int, n2: int, n3: int) -> dict:
     os.makedirs(CACHE, exist_ok=True)
     out = os.path.join(CACHE, f"tpu_slope_v3_{n}_{n1}_{n2}_{n3}.json")
     if not os.path.exists(out):
         subprocess.run(
             [sys.executable, "-c", _TPU_SCRIPT, str(n), str(n1), str(n2),
-             str(n3), os.path.join(CACHE, "xla"), out], check=True,
-            cwd=REPO)
+             str(n3), solver_npz_path(n), os.path.join(CACHE, "xla"),
+             out], check=True, cwd=REPO)
     return json.load(open(out))
 
 
@@ -444,13 +472,16 @@ def cpu_baseline(n: int) -> dict:
         env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
                     "JAX_ENABLE_X64": "0"})
         subprocess.run([sys.executable, "-c", _BASELINE_SCRIPT, str(n),
-                        meta], check=True, env=env, cwd=REPO)
+                        meta, solver_npz_path(n)], check=True, env=env,
+                       cwd=REPO)
     return json.load(open(meta))
 
 
 def main():
-    meta = cpu_baseline(BENCH_N)
+    # TPU first: it exports its compacted solver, which the CPU baseline
+    # then reuses (identical hierarchy, no hours-long CPU JAX rebuild).
     r = run_tpu(BENCH_N, N1, N2, N3)
+    meta = cpu_baseline(BENCH_N)
     # The auxiliary build timings must not take the headline down with
     # them: a dead TPU tunnel (or a watchdog fault in one probe) still
     # leaves a valid cached slope artifact to report.
