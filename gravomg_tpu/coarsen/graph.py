@@ -92,7 +92,8 @@ def _ece_local(graph: Graph, parents: jax.Array, fine_valid: jax.Array,
 
 def extract_coarse_edges_local(graph: Graph, parents: jax.Array,
                                n_coarse: int, max_degree: int,
-                               fine_valid=None, max_children: int = 0
+                               fine_valid=None, max_children: int = 0,
+                               sync_retry: bool = True
                                ) -> Tuple[jax.Array, jax.Array]:
     """Sort-local variant of :func:`extract_coarse_edges`.
 
@@ -101,12 +102,23 @@ def extract_coarse_edges_local(graph: Graph, parents: jax.Array,
     candidate neighbor-parents (``max_children * K`` wide; see
     solve/rap2.py for the merge).  Identical pattern contract; the
     children cap doubles on overflow (data-dependent cell sizes).
+
+    ``sync_retry=False`` runs one pass at the given/default cap and
+    defers the overflow flag (no host sync; safe in the zero-D2H
+    builder and under an enclosing ``jit``).
     """
     v, _ = graph.neighbors.shape
     if fine_valid is None:
         fine_valid = jnp.ones((v,), bool)
+    # n_coarse is the PADDED cap (~2.5x the real count in the builder's
+    # level plan), so v/n_coarse underestimates real cell sizes; hub
+    # cells run ~3.5x the mean.  16x headroom covers both factors.
     mc = (max_children if max_children > 0
-          else max(8, -(-4 * v // max(n_coarse, 1))))
+          else min(max(16, -(-16 * v // max(n_coarse, 1))), v))
+    if not sync_retry:
+        cols, t_ovf, m_ovf = _ece_local(graph, parents, fine_valid,
+                                        n_coarse, max_degree, mc)
+        return cols, t_ovf | m_ovf
     for _ in range(4):
         cols, t_ovf, m_ovf = _ece_local(graph, parents, fine_valid,
                                         n_coarse, max_degree, mc)

@@ -88,6 +88,7 @@ def build_hierarchy_device(
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,
+        rap_y_width: int = 24,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -178,7 +179,7 @@ def build_hierarchy_device(
                 extract_coarse_edges_local
             columns, e_ovf = extract_coarse_edges_local(
                 g, parents, cap, min(kc_cap, cap - 1),
-                fine_valid=fine_valid)
+                fine_valid=fine_valid, sync_retry=False)
         else:
             columns, e_ovf = extract_coarse_edges(
                 g, parents, cap, min(kc_cap, cap - 1),
@@ -203,7 +204,8 @@ def build_hierarchy_device(
             # instead of the 9*nnz global lexsort; same operator.
             from gravomg_tpu.solve.rap2 import galerkin_rap_local
             coarse_op, r_ovf = galerkin_rap_local(
-                op, u, min(rap_cap, cap))
+                op, u, min(rap_cap, cap), y_width=rap_y_width,
+                sync_retry=False)
         else:
             coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
 

@@ -150,21 +150,39 @@ def _uty_local(y_cols: jax.Array, y_vals: jax.Array, rt: Restriction,
 
 
 def galerkin_rap_local(op: EllOperator, u: Prolongation, max_degree: int,
-                       y_width: int = 0, max_children: int = 0
+                       y_width: int = 0, max_children: int = 0,
+                       sync_retry: bool = True
                        ) -> Tuple[EllOperator, jax.Array]:
     """Sort-local A_c = U^T A U.  Drop-in for ``galerkin_rap`` (same
     operator up to ELL slot order; phantom rows get the same identity
     diagonal).  y_width / max_children <= 0 pick working defaults and
     retry with doubled caps on overflow (each cap is data-dependent:
     distinct coarse parents per fine neighborhood, fine children per
-    coarse cell)."""
+    coarse cell).
+
+    ``sync_retry=False`` runs ONE pass at the given/default caps and
+    returns the combined overflow flag instead of host-syncing on it --
+    required inside the zero-D2H builder (any device-to-host read
+    degrades the process to ~48 ms/launch, PROGRESS.md) and under an
+    enclosing ``jit``."""
     from gravomg_tpu.prolong.operator import build_restriction
     from gravomg_tpu.solve.rap import _phantom_identity
 
     vf = op.num_vertices
     nc = u.n_coarse
     yw = y_width if y_width > 0 else 16
-    mc = max_children if max_children > 0 else max(8, -(-4 * 3 * vf // nc))
+    # nc is the PADDED coarse cap, so 3*vf/nc underestimates the real
+    # mean children per coarse cell by the cap slack (~2.5x) and hubs
+    # run ~3.5x the mean (hierarchy_static.py build_restriction note).
+    # Use the same 12x headroom rule as the builder's own U^T table.
+    mc = max_children if max_children > 0 else max(8, -(-12 * 3 * vf // nc))
+    mc = min(mc, vf)
+    if not sync_retry:
+        rt, r_ovf = build_restriction(u, mc)
+        y_cols, y_vals, y_ovf = _au_local(op, u, yw)
+        out, ovf = _uty_local(y_cols, y_vals, rt, nc, max_degree)
+        out = out._replace(diag=_phantom_identity(out))
+        return out, r_ovf | y_ovf | ovf
     for _ in range(4):
         rt, r_ovf = build_restriction(u, mc)
         if bool(r_ovf):

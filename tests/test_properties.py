@@ -114,6 +114,31 @@ def test_device_resident_build_matches_staged(rng):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_sort_local_build_matches_plain(rng):
+    """sort_local=True (lane-merge coarse edges + two-phase RAP, no
+    global sorts, no host syncs) must produce the same hierarchy
+    operators as the default builder on the same sampling."""
+    from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                              check_diagnostics)
+    from gravomg_tpu.geometry.order import morton_order
+    pts = torus_points(1500, seed=6)
+    pts = pts[morton_order(pts)]
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    cfg = g.MultigridConfig(coarse_threshold=60)
+    h1, d1 = build_hierarchy_device(graph, spd, cfg, exact_sampling=True)
+    check_diagnostics(d1)
+    h2, d2 = build_hierarchy_device(graph, spd, cfg, exact_sampling=True,
+                                    sort_local=True)
+    check_diagnostics(d2)
+    assert len(h1.solver.levels) == len(h2.solver.levels)
+    for l1, l2 in zip(h1.solver.levels, h2.solver.levels):
+        np.testing.assert_allclose(np.asarray(l1.op.as_dense()),
+                                   np.asarray(l2.op.as_dense()),
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_compact_solver_preserves_solution(rng):
     """Compaction (tight row/degree slicing) changes no real result:
     same iterate on real rows, strictly smaller padded shapes."""

@@ -2,6 +2,7 @@
 (SURVEY.md CS-5; BASELINE.json configs 1-2 at test scale)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import gravomg_tpu as g
@@ -297,6 +298,18 @@ def test_galerkin_rap_local_matches_full(rng):
     np.testing.assert_allclose(np.asarray(local.as_dense()),
                                np.asarray(full.as_dense()),
                                rtol=1e-10, atol=1e-12)
+    # Deferred-cap path: must trace under jit (no host sync) and agree.
+    # Random U columns are non-local, so the phase-1 width needs the
+    # full coarse size (real hierarchies are local; the builder default
+    # suffices there and overflow is surfaced via diagnostics).
+    loc2, o3 = jax.jit(
+        lambda o_, u_: galerkin_rap_local(o_, u_, nc + 5,
+                                          y_width=nc + 5,
+                                          sync_retry=False))(op, u)
+    assert not bool(o3)
+    np.testing.assert_allclose(np.asarray(loc2.as_dense()),
+                               np.asarray(full.as_dense()),
+                               rtol=1e-10, atol=1e-12)
 
 
 def test_lane_merge_oracle(rng):
@@ -345,3 +358,10 @@ def test_extract_coarse_edges_local_matches_baseline(rng):
                                        fine_valid=fv)
     assert not bool(o1) and not bool(o2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Deferred-cap path: must trace under jit (no host sync) and agree.
+    c, o3 = jax.jit(
+        lambda g_, p_, f_: extract_coarse_edges_local(
+            g_, p_, nc, nc, fine_valid=f_, sync_retry=False))(
+                graph, parents, fv)
+    assert not bool(o3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
