@@ -77,8 +77,13 @@ def build_pipeline(n):
     pts = pts[morton_order(pts)]
     cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
     graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
-    lap, mass = g.graph_laplacian(graph, "invdist")
-    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    # alpha="auto": invdist diagonals grow ~1/h while mass shrinks ~h^2,
+    # so a fixed alpha's screening term falls below f32 resolution at
+    # scale (measured 1e-10 relative at 1M) -- the stored operator
+    # degenerates to a singular Laplacian + rounding noise and V-cycles
+    # stall.  Auto pins the shift at 1e-4 of the mean diagonal
+    # (apps/poisson.py), keeping every Galerkin level SPD in f32.
+    spd, _ = g.screened_poisson_operator(graph, alpha="auto")
     h, diags = build_hierarchy_device(graph, spd, cfg)
     return cfg, graph, spd, h, diags, short
 """
@@ -345,8 +350,8 @@ else:
     pts = pts[morton_order(pts)]
     graph, short = grid_knn_graph_nosync(pts, 16, margin=2.4)
     assert not bool(short)
-    lap, mass = g.graph_laplacian(graph, "invdist")
-    spd = lap._replace(diag=lap.diag + 0.5*mass)
+    # Same auto-scaled screening as the TPU script (see build_pipeline).
+    spd, _ = g.screened_poisson_operator(graph, alpha="auto")
     h, diags = build_hierarchy_device(graph, spd, cfg)
     check_diagnostics(diags)
     hs = compact_solver(h.solver, diags)

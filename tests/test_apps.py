@@ -27,6 +27,25 @@ def test_solve_poisson_vcycle_and_pcg(rng):
         assert float(rel) < cfg.tolerance
 
 
+def test_screened_poisson_auto_alpha(rng):
+    """alpha='auto' pins the screening shift at rel_floor of the mean
+    diagonal (f32-representable at ANY density -- a fixed alpha's shift
+    vanishes relative to invdist diagonals as density grows and the
+    stored operator degenerates to singular-plus-noise; measured at the
+    1M bench), and the resulting system still solves to tolerance."""
+    from gravomg_tpu.apps.poisson import screened_poisson_operator
+    graph = _sphere(rng)
+    spd, _ = screened_poisson_operator(graph, alpha="auto")
+    lap, _ = g.graph_laplacian(graph, "invdist")
+    rel_shift = float(jnp.mean(spd.diag - lap.diag) / jnp.mean(spd.diag))
+    assert 0.5e-4 < rel_shift < 2e-4
+    cfg = g.MultigridConfig(coarse_threshold=64)
+    h = g.build_hierarchy(graph, spd, cfg)
+    b = jnp.asarray(rng.normal(size=graph.num_vertices))
+    x, rel, it = g.mg_pcg(h.solver, b, cfg)
+    assert float(rel) < cfg.tolerance
+
+
 def test_solve_poisson_refined_reaches_1e8_from_f32(rng):
     graph = _sphere(rng)
     graph = g.Graph(graph.neighbors,
