@@ -99,6 +99,44 @@ def _seed_init(graph: Graph, coarse_samples: jax.Array):
     return dist0, par0
 
 
+@functools.partial(jax.jit, static_argnames=("block", "window", "nw",
+                                             "escape_cap", "large_v"))
+def graph_minplus_operator(graph: Graph, block: int = 256,
+                           window: int = 512, nw: int = 4,
+                           escape_cap: int | None = None,
+                           large_v: int = 300_000):
+    """The fine graph's 1-hop distances as a block-dense min-plus
+    operator (+inf empty slots).  Shared by parent assignment
+    (shortest-path sweeps) and chained-gate disc sampling -- build it
+    once per level and pass it to both.
+
+    Scale-adaptive geometry: the wide uniform windows cost
+    V * nww * 4 bytes (8.2 GB at 1M with w0=512, w=512, nw=4 -- the
+    round-3 OOM).  Measured at 1M (scripts/probe_1m_spread.py):
+    128-row blocks with w0=256 + 3x128 windows cover 91% of the fine
+    graph at nww=640 (2.6 GB); the tail rides the escape chute, whose
+    cap must scale past V (1.56M escapes measured at 1M).  Distances
+    stay f32: bf16 rounding would desynchronize the min-plus fixpoint
+    from the f32 predecessor recovery in assign_parents_bd.
+
+    Returns (bd, overflow).
+    """
+    from gravomg_tpu.ops.blockdense import blockdense_from_ell
+
+    v = graph.num_vertices
+    if v > large_v:
+        block, window, nw, window0 = 128, 128, 4, 256
+        cap = escape_cap or max(4096, 2 * v)
+    else:
+        window0 = window
+        cap = escape_cap or max(4096, v)
+    dmat = jnp.where(graph.mask, graph.distances, jnp.inf)
+    return blockdense_from_ell(
+        graph.safe_neighbors(), dmat, graph.mask, v, combine="min",
+        block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
+        window0=min(window0, v), escape_cap=cap)
+
+
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "block",
                                              "window", "nw",
                                              "escape_cap", "large_v"))
@@ -106,7 +144,7 @@ def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
                       max_sweeps: int = 10_000, block: int = 256,
                       window: int = 512, nw: int = 4,
                       escape_cap: int | None = None,
-                      large_v: int = 300_000
+                      large_v: int = 300_000, bd=None, bd_ovf=None
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Gather-free parent assignment: min-plus block-dense relaxation
     sweeps to the shortest-path fixpoint, then one predecessor argmin
@@ -116,30 +154,20 @@ def assign_parents_bd(graph: Graph, coarse_samples: jax.Array,
     identical parents for generic (tie-free) clouds.  Returns
     (parents, distances, overflow) -- overflow means the block-dense
     caps were too small and the result is invalid.
+
+    ``bd``/``bd_ovf``: optionally a prebuilt
+    :func:`graph_minplus_operator` result to reuse (the builder shares
+    one operator between sampling and parent assignment per level).
     """
     v = graph.num_vertices
-    from gravomg_tpu.ops.blockdense import (blockdense_from_ell,
-                                            blockdense_minplus)
+    from gravomg_tpu.ops.blockdense import blockdense_minplus
 
-    # Scale-adaptive geometry: the wide uniform windows cost
-    # V * nww * 4 bytes (8.2 GB at 1M with w0=512, w=512, nw=4 -- the
-    # round-3 OOM).  Measured at 1M (scripts/probe_1m_spread.py):
-    # 128-row blocks with w0=256 + 3x128 windows cover 91% of the fine
-    # graph at nww=640 (2.6 GB); the tail rides the escape chute, whose
-    # cap must scale past V (1.56M escapes measured at 1M).  Distances
-    # stay f32: bf16 rounding would desynchronize the min-plus fixpoint
-    # from the f32 predecessor recovery below.
-    if v > large_v:
-        block, window, nw, window0 = 128, 128, 4, 256
-        cap = escape_cap or max(4096, 2 * v)
+    if bd is None:
+        bd, ovf = graph_minplus_operator(
+            graph, block=block, window=window, nw=nw,
+            escape_cap=escape_cap, large_v=large_v)
     else:
-        window0 = window
-        cap = escape_cap or max(4096, v)
-    dmat = jnp.where(graph.mask, graph.distances, jnp.inf)
-    bd, ovf = blockdense_from_ell(
-        graph.safe_neighbors(), dmat, graph.mask, v, combine="min",
-        block=min(block, max(v // 8, 8)), window=min(window, v), nw=nw,
-        window0=min(window0, v), escape_cap=cap)
+        ovf = jnp.bool_(False) if bd_ovf is None else bd_ovf
 
     dist0, par0 = _seed_init(graph, coarse_samples)
 

@@ -438,6 +438,86 @@ def fast_disc_sample_priority(graph: Graph, radius, seed: int = 0,
     return status == _SELECTED, invalid
 
 
+@functools.partial(jax.jit, static_argnames=("seed", "max_rounds"))
+def fast_disc_sample_chained(graph: Graph, radius, seed: int = 0,
+                             max_rounds: int = 256, bd=None,
+                             bd_ovf=None):
+    """Random-priority MIS disc sampling with CHAINED 1-hop gates.
+
+    Computes the SAME maximal independent set as
+    :func:`fast_disc_sample_priority` (same seed, same priorities, same
+    greedy-by-priority fixpoint) without ever materializing the 2-hop
+    conflict table -- the dominant build cost (measured 8.0 s of the
+    32 s 200k build: a (V, 192) table + a 38M-element conversion
+    argsort/scatter per level).  Both gates factor through the 1-HOP
+    min-plus operator D (d_ij entries, +inf empty):
+
+      reject (exact conflict relation, reference semantics
+      `src/sampling.cpp:31-46`): r1 = minplus(D, y) with y = 0 iff
+      selected gives min distance to a selected 1-hop neighbor;
+      r2 = minplus(D, r1) gives min 2-hop path sums d(i,n1)+d(n1,j)
+      to selected j.  Conflict iff r1 < radius or r2 < radius.
+
+      wait: the minimum priority among undecided vertices within <= 2
+      UNWEIGHTED graph hops -- two neighborhood-min reductions through
+      the same operator with its distances zeroed.  This is a SUPERSET
+      of the distance-constrained conflict relation, which changes
+      nothing: a vertex only defers to non-conflicting nearby vertices
+      until they decide, and its eventual decision -- no selected
+      exact-conflict -- still equals the greedy-by-priority MIS of the
+      exact relation (tested bit-identical vs the table variant).
+
+    ``bd``/``bd_ovf``: optionally reuse a prebuilt
+    :func:`~gravomg_tpu.coarsen.parents.graph_minplus_operator` (the
+    builder shares one with parent assignment).  Returns
+    (mask, invalid).
+    """
+    from gravomg_tpu.coarsen.parents import graph_minplus_operator
+    from gravomg_tpu.ops.blockdense import blockdense_minplus
+
+    v = graph.num_vertices
+    if bd is None:
+        bd, bd_ovf = graph_minplus_operator(graph)
+    elif bd_ovf is None:
+        bd_ovf = jnp.bool_(False)
+    # Unweighted <=2-hop min reduction rides the same operator with
+    # entries zeroed (empty slots stay +inf); escape weights zero too.
+    zd = bd._replace(m=jnp.where(jnp.isinf(bd.m), jnp.inf, 0.0),
+                     esc_w=jnp.zeros_like(bd.esc_w))
+
+    # Distinct priorities for any V < 2^31 via monotone int->f32
+    # bitcast (see fast_disc_sample_priority).
+    perm = jax.random.permutation(jax.random.PRNGKey(seed), v)
+    pr = jax.lax.bitcast_convert_type(
+        perm.astype(jnp.int32) + jnp.int32(2 ** 23), jnp.float32)
+
+    def round_body(state):
+        status, _, it = state
+        y = jnp.where(status == _SELECTED, 0.0, jnp.inf)
+        r1 = blockdense_minplus(bd, y)
+        r2 = blockdense_minplus(bd, r1)
+        sel_conflict = (r1 < radius) | (r2 < radius)
+        gpr = jnp.where(status == _UNDECIDED, pr, jnp.inf)
+        u1 = blockdense_minplus(zd, gpr)
+        u2 = blockdense_minplus(zd, jnp.minimum(u1, gpr))
+        und = status == _UNDECIDED
+        new = jnp.where(und & sel_conflict, _REJECTED,
+                        jnp.where(und & ~(u2 < pr), _SELECTED,
+                                  status)).astype(jnp.int8)
+        return new, status, it + 1
+
+    def cond(state):
+        status, prev, it = state
+        return (jnp.any(status == _UNDECIDED) & jnp.any(status != prev)
+                & (it < max_rounds))
+
+    init = (jnp.zeros((v,), jnp.int8), jnp.full((v,), -1, jnp.int8),
+            jnp.int32(0))
+    status, _, it = jax.lax.while_loop(cond, round_body, init)
+    invalid = bd_ovf | jnp.any(status == _UNDECIDED)
+    return status == _SELECTED, invalid
+
+
 def fast_disc_sample(graph: Graph, radius, max_samples: int | None = None):
     """Host-facing wrapper: returns ascending selected indices (NumPy).
 

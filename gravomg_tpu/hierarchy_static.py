@@ -88,7 +88,7 @@ def build_hierarchy_device(
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,
-        rap_y_width: int = 24,
+        rap_y_width: int = 24, chained_sampling: bool = True,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -124,6 +124,7 @@ def build_hierarchy_device(
     for cap in level_caps:
         radius = sampling_radius(g, cfg.reduction_ratio)
         bd_ovf = jnp.bool_(False)
+        shared_bd = shared_bd_ovf = None
         if gather_free:
             # Conflict-operator sampling: rounds are block-dense
             # indicator matvecs, not per-round (V, Kr, Kr) re-gathers.
@@ -134,6 +135,20 @@ def build_hierarchy_device(
             # exact_sampling keeps the reference-greedy output.
             if exact_sampling:
                 mask, s_undec = fast_disc_sample_bd(g, radius)
+            elif chained_sampling:
+                # Chained 1-hop gates: same MIS as the priority table
+                # variant without the (V, kc) 2-hop conflict table (its
+                # build + conversion measured 8 s of the 32 s 200k
+                # build); the 1-hop min-plus operator is shared with
+                # parent assignment below.
+                from gravomg_tpu.coarsen.parents import \
+                    graph_minplus_operator
+                from gravomg_tpu.coarsen.sampling import \
+                    fast_disc_sample_chained
+                shared_bd, shared_bd_ovf = graph_minplus_operator(g)
+                mask, s_undec = fast_disc_sample_chained(
+                    g, radius, seed=sampling_seed, bd=shared_bd,
+                    bd_ovf=shared_bd_ovf)
             else:
                 mask, s_undec = fast_disc_sample_priority(
                     g, radius, seed=sampling_seed)
@@ -170,7 +185,8 @@ def build_hierarchy_device(
         cap_overflow = n_real > cap
 
         if gather_free:
-            parents, _, p_ovf2 = assign_parents_bd(g, samples)
+            parents, _, p_ovf2 = assign_parents_bd(
+                g, samples, bd=shared_bd, bd_ovf=shared_bd_ovf)
             bd_ovf = bd_ovf | p_ovf2
         else:
             parents, _ = assign_parents(g, samples)

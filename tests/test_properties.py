@@ -266,6 +266,50 @@ def test_priority_sampling_is_valid_mis(rng):
     np.testing.assert_array_equal(np.asarray(m2), m)
 
 
+def test_chained_sampling_matches_priority(rng):
+    """The chained-1-hop-gate sampler must return the BIT-IDENTICAL
+    MIS as the materialized-2-hop-table sampler for the same seed (same
+    priorities, same greedy-by-priority fixpoint; the unweighted <=2-hop
+    wait gate is a superset relation, which only delays decisions, never
+    changes them), on several clouds and seeds."""
+    from gravomg_tpu.coarsen.sampling import (fast_disc_sample_chained,
+                                              fast_disc_sample_priority)
+    from gravomg_tpu.geometry.order import morton_order
+    for n, k, seed in ((3000, 8, 3), (5000, 12, 0), (2000, 16, 7)):
+        pts = torus_points(n, seed=seed + 20)
+        pts = pts[morton_order(pts)]
+        graph = g.knn_graph(jnp.asarray(pts), k=k)
+        r = g.sampling_radius(graph)
+        m1, inv1 = fast_disc_sample_priority(graph, r, seed=seed)
+        m2, inv2 = fast_disc_sample_chained(graph, r, seed=seed)
+        assert not bool(inv1) and not bool(inv2)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_chained_sampling_in_builder(rng):
+    """build_hierarchy_device's default (chained) and the priority-table
+    path must produce the same hierarchy end-to-end."""
+    from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
+                                              check_diagnostics)
+    from gravomg_tpu.geometry.order import morton_order
+    pts = torus_points(2500, seed=11)
+    pts = pts[morton_order(pts)]
+    graph = g.knn_graph(jnp.asarray(pts), k=8)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    cfg = g.MultigridConfig(coarse_threshold=100)
+    h1, d1 = build_hierarchy_device(graph, spd, cfg,
+                                    chained_sampling=True)
+    check_diagnostics(d1)
+    h2, d2 = build_hierarchy_device(graph, spd, cfg,
+                                    chained_sampling=False)
+    check_diagnostics(d2)
+    for l1, l2 in zip(h1.solver.levels, h2.solver.levels):
+        np.testing.assert_allclose(np.asarray(l1.op.as_dense()),
+                                   np.asarray(l2.op.as_dense()),
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_priority_bitcast_distinct_beyond_f32_ints():
     """MIS priorities must stay pairwise distinct above 2^24 vertices
     (ADVICE r2): the int32->f32 bitcast (offset 2^23) is strictly
