@@ -143,6 +143,22 @@ def main():
 
     rec("sampling_priority", lambda s: red(
         fast_disc_sample_priority(perturb_graph(s), radius + s)[0]))
+
+    from gravomg_tpu.coarsen.parents import graph_minplus_operator
+    from gravomg_tpu.coarsen.sampling import fast_disc_sample_chained
+    rec("sampling_chained", lambda s: red(
+        fast_disc_sample_chained(perturb_graph(s), radius + s)[0]))
+
+    def chained_pair(s):
+        # The builder's real shape: ONE shared operator conversion
+        # feeding both sampling rounds and parent sweeps.
+        gp = perturb_graph(s)
+        bd, bo = graph_minplus_operator(gp)
+        m, _ = fast_disc_sample_chained(gp, radius + s, bd=bd, bd_ovf=bo)
+        p, _, _ = assign_parents_bd(gp, samples, bd=bd, bd_ovf=bo)
+        return red(m) + red(p)
+
+    rec("chained sample+parents", chained_pair)
     rec("assign_parents_bd", lambda s: red(
         assign_parents_bd(perturb_graph(s), samples)[0]))
     rec("extract_coarse_edges", lambda s: red(
