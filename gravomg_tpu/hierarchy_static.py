@@ -89,6 +89,7 @@ def build_hierarchy_device(
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,
         rap_y_width: int = 24, chained_sampling: bool = True,
+        rap_mode: str = "2phase",
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -218,10 +219,20 @@ def build_hierarchy_device(
         if sort_local:
             # Sort-local two-phase RAP (solve/rap2.py): lane merges
             # instead of the 9*nnz global lexsort; same operator.
+            # NOTE: its mc*yw-lane phase-2 merge OOMs the remote
+            # compiler above ~100k rows -- small levels only.
             from gravomg_tpu.solve.rap2 import galerkin_rap_local
             coarse_op, r_ovf = galerkin_rap_local(
                 op, u, min(rap_cap, cap), y_width=rap_y_width,
                 sync_retry=False)
+        elif rap_mode == "2phase":
+            # Lane-merged Y then ONE small sort (3*y_width*Vf vs the
+            # stream mode's 9*K*Vf): the largest measured build stage
+            # (11.6 s of the 32 s 200k build) shrinks ~3x in sort
+            # volume.  Same operator up to f32 add order.
+            from gravomg_tpu.solve.rap2 import galerkin_rap_2phase
+            coarse_op, r_ovf = galerkin_rap_2phase(
+                op, u, min(rap_cap, cap), y_width=rap_y_width)
         else:
             coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
 

@@ -149,6 +149,57 @@ def _uty_local(y_cols: jax.Array, y_vals: jax.Array, rt: Restriction,
     return out, ovf
 
 
+@functools.partial(jax.jit, static_argnames=("max_degree", "y_width"))
+def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
+                        max_degree: int, y_width: int = 16
+                        ) -> Tuple[EllOperator, jax.Array]:
+    """A_c = U^T (A U) with a lane-merged Y and one SMALL global sort.
+
+    The single-stream RAP (solve/rap.py) sorts 9*K*Vf triplets (153M at
+    1M vertices, measured 11.6 s at 200k level 0 -- the largest build
+    stage).  Phase 1 merges each fine row's 3(K+1) candidates to
+    y_width slots with lane sorts (~51 lanes, compiles at any scale,
+    unlike the sort-local phase 2 whose mc*yw-lane merge OOMs the
+    compiler at 200k).  Phase 2 then sorts only the 3*y_width*Vf merged
+    stream (48M at 1M -- 3.2x smaller) through the standard
+    build_ell_rows scatter.  Same operator as ``galerkin_rap`` up to
+    f32 add order; returns (A_c, overflow).
+    """
+    from gravomg_tpu.ops.segment import build_ell_rows
+    from gravomg_tpu.solve.rap import _phantom_identity
+
+    vf = op.num_vertices
+    nc = u.n_coarse
+    y_cols, y_vals, y_ovf = _au_local(op, u, y_width)
+
+    rows_l, cols_l, vals_l, valid_l = [], [], [], []
+    for a in range(3):
+        for b in range(y_width):
+            rows_l.append(u.cols[:, a])
+            cols_l.append(y_cols[:, b])
+            vals_l.append(u.weights[:, a] * y_vals[:, b])
+            valid_l.append(y_cols[:, b] != INVALID_INDEX)
+    rows = jnp.concatenate(rows_l)
+    cols = jnp.concatenate(cols_l)
+    vals = jnp.concatenate(vals_l)
+    valid = jnp.concatenate(valid_l)
+
+    res = build_ell_rows(rows, cols, valid, nc, max_degree + 1,
+                         values=vals, combine="add")
+    cmask = res.columns != INVALID_INDEX
+    is_diag = cmask & (res.columns
+                       == jnp.arange(nc, dtype=jnp.int32)[:, None])
+    diag = jnp.sum(jnp.where(is_diag, res.values, 0.0), axis=1)
+    off_cols = jnp.where(is_diag, INVALID_INDEX, res.columns)
+    off_vals = jnp.where(is_diag, 0.0, res.values)
+    order = jnp.argsort(off_cols, axis=1, stable=True)
+    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
+    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
+    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
+    out = out._replace(diag=_phantom_identity(out))
+    return out, y_ovf | res.overflow
+
+
 def galerkin_rap_local(op: EllOperator, u: Prolongation, max_degree: int,
                        y_width: int = 0, max_children: int = 0,
                        sync_retry: bool = True

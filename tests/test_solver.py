@@ -312,6 +312,30 @@ def test_galerkin_rap_local_matches_full(rng):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_galerkin_rap_2phase_matches_full(rng):
+    """Two-phase RAP (lane-merged Y + one small sort) must equal the
+    single-stream baseline as a dense operator, including phantom rows
+    and under jit."""
+    from gravomg_tpu.solve.rap2 import galerkin_rap_2phase
+    op, dense = _random_ell_spd(rng, n=300)
+    nc = 40
+    cols = rng.integers(0, nc, size=(300, 3)).astype(np.int32)
+    w = rng.random(size=(300, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc + 5)
+    full, o1 = g.galerkin_rap(op, u, nc + 5)
+    # Random U columns are non-local: y_width needs the full coarse
+    # size here (real hierarchies are local; builder default applies).
+    two, o2 = galerkin_rap_2phase(op, u, nc + 5, y_width=nc + 5)
+    assert not bool(o1) and not bool(o2)
+    np.testing.assert_allclose(np.asarray(two.as_dense()),
+                               np.asarray(full.as_dense()),
+                               rtol=1e-10, atol=1e-12)
+    # Width overflow is flagged, not silent.
+    _, o3 = galerkin_rap_2phase(op, u, nc + 5, y_width=4)
+    assert bool(o3)
+
+
 def test_lane_merge_oracle(rng):
     from gravomg_tpu.solve.rap2 import lane_merge
     r, w, ncol = 50, 24, 12
