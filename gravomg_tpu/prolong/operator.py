@@ -90,15 +90,41 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
     tri_safe = jnp.where(tri_v == INVALID_INDEX, 0, tri_v)
     assoc = triangles.assoc
 
+    # Pack each triangle's data into ONE gatherable row: XLA TPU
+    # gathers cost ~7 ns PER INDEX regardless of slice width
+    # (PROGRESS.md cost model), and the scan below visits A candidate
+    # triangles per fine point.  Separate vertex-id / normal /
+    # 3x coarse-point gathers cost 5A indices per point (measured
+    # 2.84 s at 200k level 0); one packed (T, 16) row per candidate
+    # costs A.  Layout: v0 v1 v2 coords (9), normal (3), the three
+    # vertex ids bitcast int32->f32 (offset by 2^23 so every pattern is
+    # a NORMAL float -- TPU flushes denormals, and f64<->f32 conversion
+    # of normals is exact on the CPU f64 path), one pad lane.
+    dt = coarse_points.dtype
+    _id_f = jax.lax.bitcast_convert_type(
+        tri_safe.astype(jnp.int32) + jnp.int32(2 ** 23), jnp.float32)
+    packed = jnp.concatenate([
+        coarse_points[tri_safe[:, 0]], coarse_points[tri_safe[:, 1]],
+        coarse_points[tri_safe[:, 2]], tri_n.astype(dt),
+        _id_f.astype(dt),
+        jnp.zeros((tri_v.shape[0], 1), dt)], axis=1)      # (T, 16)
+
+    # Same packing for the per-coarse neighbor coordinates (case 2 /
+    # both fallbacks): one (C, Kc*3) row gather per point instead of
+    # Kc point gathers.
+    kc = coarse_nbr.shape[1]
+    cpn = coarse_points[cnbr_safe].reshape(-1, kc * 3)
+
     def per_point(p, c):
         pc = coarse_points[c]
         nbrs = cnbr_safe[c]                       # (Kc,) ascending
+        npts = cpn[c].reshape(kc, 3)              # (Kc, 3) one gather
         nmask = cmask_all[c]
         deg = jnp.sum(nmask)
 
         # ---- case 2: single neighbor (`src/multigrid.cpp:301-334`) ----
         nb0 = nbrs[0]
-        seg = coarse_points[nb0] - pc
+        seg = npts[0] - pc
         # Reference normalizes by the TRUE norm but divides by the clamped
         # length (`src/multigrid.cpp:311-313`); keep both for exactness.
         seg_len = jnp.maximum(jnp.linalg.norm(seg), 1e-8)
@@ -112,15 +138,20 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         ts = assoc[c]                             # (A,)
         tvalid = ts != INVALID_INDEX
         ts_safe = jnp.where(tvalid, ts, 0)
-        tv = tri_safe[ts_safe]                    # (A, 3)
-        tn = tri_n[ts_safe]                       # (A, 3)
+        prow = packed[ts_safe]                    # (A, 16): ONE gather
+        verts = prow[:, :9].reshape(-1, 3, 3)     # (A, 3, 3) v0 v1 v2
+        tn = prow[:, 9:12]                        # (A, 3)
+        tv = jax.lax.bitcast_convert_type(
+            prow[:, 12:15].astype(jnp.float32),
+            jnp.int32) - jnp.int32(2 ** 23)       # (A, 3) vertex ids
         # Rotate so the parent sits in slot 0 (`src/multigrid.cpp:360`).
         pos_c = jnp.argmax(tv == c, axis=1)       # (A,)
         gather = (pos_c[:, None] + jnp.arange(3)[None, :]) % 3
         rt = jnp.take_along_axis(tv, gather, axis=1)  # rotated (A, 3)
-        v1 = coarse_points[rt[:, 0]]              # == pc wherever valid
-        v2 = coarse_points[rt[:, 1]]
-        v3 = coarse_points[rt[:, 2]]
+        rverts = jnp.take_along_axis(verts, gather[:, :, None], axis=1)
+        v1 = rverts[:, 0]                         # == pc wherever valid
+        v2 = rverts[:, 1]
+        v3 = rverts[:, 2]
         # inTriangle (`src/multigrid.cpp:29-35`)
         dist_plane = jnp.sum((p - v1) * tn, axis=1)
         p_proj = p - dist_plane[:, None] * tn
@@ -159,7 +190,7 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         has_edge = jnp.any(eligible)
         e_slot = jnp.argmax(eligible)              # lowest index first
         e_idx = nbrs[e_slot]
-        eseg = coarse_points[e_idx] - pc
+        eseg = npts[e_slot] - pc
         eseg_len = jnp.maximum(jnp.linalg.norm(eseg), 1e-8)
         w_e = jnp.clip(
             jnp.dot(p - pc, eseg / jnp.linalg.norm(eseg)) / eseg_len,
@@ -169,7 +200,7 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         edge_wts = jnp.stack([we2[0], we2[1], jnp.zeros_like(we2[0])])
 
         # ---- fallback B: three nearest (`src/multigrid.cpp:449-483`)
-        nd = jnp.linalg.norm(p[None, :] - coarse_points[nbrs], axis=-1)
+        nd = jnp.linalg.norm(p[None, :] - npts, axis=-1)
         nd = jnp.where(nmask, nd, jnp.inf)
         # std::sort on (distance, index) pairs; rows are ascending by
         # index, so a stable sort on distance reproduces the tie-break.

