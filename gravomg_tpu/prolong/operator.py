@@ -139,19 +139,33 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
         tvalid = ts != INVALID_INDEX
         ts_safe = jnp.where(tvalid, ts, 0)
         prow = packed[ts_safe]                    # (A, 16): ONE gather
-        verts = prow[:, :9].reshape(-1, 3, 3)     # (A, 3, 3) v0 v1 v2
+        # 2-D slices/selects ONLY: a (A, 3, 3) take_along_axis temp
+        # tile-pads its minor dims ~40x on TPU (PROGRESS pathology 5;
+        # measured: it made this stage 1.6x SLOWER than the unpacked
+        # form it replaced).
+        p0, p1, p2 = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
         tn = prow[:, 9:12]                        # (A, 3)
         tv = jax.lax.bitcast_convert_type(
             prow[:, 12:15].astype(jnp.float32),
             jnp.int32) - jnp.int32(2 ** 23)       # (A, 3) vertex ids
         # Rotate so the parent sits in slot 0 (`src/multigrid.cpp:360`).
         pos_c = jnp.argmax(tv == c, axis=1)       # (A,)
-        gather = (pos_c[:, None] + jnp.arange(3)[None, :]) % 3
-        rt = jnp.take_along_axis(tv, gather, axis=1)  # rotated (A, 3)
-        rverts = jnp.take_along_axis(verts, gather[:, :, None], axis=1)
-        v1 = rverts[:, 0]                         # == pc wherever valid
-        v2 = rverts[:, 1]
-        v3 = rverts[:, 2]
+
+        def rot3(a0, a1, a2, shift):
+            # element `shift` positions after pos_c, cyclically.
+            s = (pos_c + shift) % 3
+            pick = lambda col0, col1, col2: jnp.where(
+                (s == 0)[:, None] if col0.ndim == 2 else (s == 0),
+                col0, jnp.where((s == 1)[:, None]
+                                if col0.ndim == 2 else (s == 1),
+                                col1, col2))
+            return pick(a0, a1, a2)
+
+        rt = jnp.stack([rot3(tv[:, 0], tv[:, 1], tv[:, 2], k)
+                        for k in range(3)], axis=1)    # rotated (A, 3)
+        v1 = rot3(p0, p1, p2, 0)                  # == pc wherever valid
+        v2 = rot3(p0, p1, p2, 1)
+        v3 = rot3(p0, p1, p2, 2)
         # inTriangle (`src/multigrid.cpp:29-35`)
         dist_plane = jnp.sum((p - v1) * tn, axis=1)
         p_proj = p - dist_plane[:, None] * tn
