@@ -149,43 +149,38 @@ def _uty_local(y_cols: jax.Array, y_vals: jax.Array, rt: Restriction,
     return out, ovf
 
 
-@functools.partial(jax.jit, static_argnames=("max_degree", "y_width"))
-def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
-                        max_degree: int, y_width: int = 16
-                        ) -> Tuple[EllOperator, jax.Array]:
-    """A_c = U^T (A U) with a lane-merged Y and one SMALL global sort.
-
-    The single-stream RAP (solve/rap.py) sorts 9*K*Vf triplets (153M at
-    1M vertices, measured 11.6 s at 200k level 0 -- the largest build
-    stage).  Phase 1 merges each fine row's 3(K+1) candidates to
-    y_width slots with lane sorts (~51 lanes, compiles at any scale,
-    unlike the sort-local phase 2 whose mc*yw-lane merge OOMs the
-    compiler at 200k).  Phase 2 then sorts only the 3*y_width*Vf merged
-    stream (48M at 1M -- 3.2x smaller) through the standard
-    build_ell_rows scatter.  Same operator as ``galerkin_rap`` up to
-    f32 add order; returns (A_c, overflow).
-    """
+def _rap2_stream(u_cols, u_weights, y_cols, y_vals, nc: int,
+                 max_degree: int):
+    """Emit and merge the phase-2 triplet stream for a block of fine
+    rows: (parent col a) x (Y col b) -> A_c[u_cols[:, a], y_cols[:, b]].
+    Returns a (nc, max_degree + 1) partial ELL (diag kept inline)."""
     from gravomg_tpu.ops.segment import build_ell_rows
-    from gravomg_tpu.solve.rap import _phantom_identity
 
-    vf = op.num_vertices
-    nc = u.n_coarse
-    y_cols, y_vals, y_ovf = _au_local(op, u, y_width)
-
+    y_width = y_cols.shape[1]
     rows_l, cols_l, vals_l, valid_l = [], [], [], []
     for a in range(3):
         for b in range(y_width):
-            rows_l.append(u.cols[:, a])
+            rows_l.append(u_cols[:, a])
             cols_l.append(y_cols[:, b])
-            vals_l.append(u.weights[:, a] * y_vals[:, b])
+            vals_l.append(u_weights[:, a] * y_vals[:, b])
             valid_l.append(y_cols[:, b] != INVALID_INDEX)
     rows = jnp.concatenate(rows_l)
     cols = jnp.concatenate(cols_l)
     vals = jnp.concatenate(vals_l)
     valid = jnp.concatenate(valid_l)
+    return build_ell_rows(rows, cols, valid, nc, max_degree + 1,
+                          values=vals, combine="add")
 
-    res = build_ell_rows(rows, cols, valid, nc, max_degree + 1,
-                         values=vals, combine="add")
+
+@functools.partial(jax.jit, static_argnames=("max_degree", "y_width"))
+def _rap_2phase_full(op: EllOperator, u: Prolongation,
+                     max_degree: int, y_width: int
+                     ) -> Tuple[EllOperator, jax.Array]:
+    from gravomg_tpu.solve.rap import _phantom_identity
+
+    nc = u.n_coarse
+    y_cols, y_vals, y_ovf = _au_local(op, u, y_width)
+    res = _rap2_stream(u.cols, u.weights, y_cols, y_vals, nc, max_degree)
     cmask = res.columns != INVALID_INDEX
     is_diag = cmask & (res.columns
                        == jnp.arange(nc, dtype=jnp.int32)[:, None])
@@ -198,6 +193,72 @@ def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
     out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
     out = out._replace(diag=_phantom_identity(out))
     return out, y_ovf | res.overflow
+
+
+@functools.partial(jax.jit, static_argnames=("max_degree",))
+def _rap2_chunk_merge(acc_cols, acc_vals, ovf, uc, uw, yc, yv,
+                      max_degree: int):
+    from gravomg_tpu.solve.rap import _merge_ell
+
+    nc = acc_cols.shape[0]
+    part = _rap2_stream(uc, uw, yc, yv, nc, max_degree)
+    cols2, vals2, o2 = _merge_ell(acc_cols, acc_vals, part.columns,
+                                  part.values, nc, max_degree + 1)
+    return cols2, vals2, ovf | part.overflow | o2
+
+
+def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
+                        max_degree: int, y_width: int = 16,
+                        chunk_rows: int = 400_000
+                        ) -> Tuple[EllOperator, jax.Array]:
+    """A_c = U^T (A U) with a lane-merged Y and one SMALL global sort.
+
+    The single-stream RAP (solve/rap.py) sorts 9*K*Vf triplets (153M at
+    1M vertices, measured 11.6 s at 200k level 0 -- the largest build
+    stage).  Phase 1 merges each fine row's 3(K+1) candidates to
+    y_width slots with lane sorts (~51 lanes, compiles at any scale,
+    unlike the sort-local phase 2 whose mc*yw-lane merge OOMs the
+    compiler at 200k).  Phase 2 then sorts only the 3*y_width*Vf merged
+    stream (48M at 1M -- 3.2x smaller) through the standard
+    build_ell_rows scatter.  Same operator as ``galerkin_rap`` up to
+    f32 add order; returns (A_c, overflow).
+
+    Above ``chunk_rows`` fine rows, phase 2 runs as a host-level chunk
+    loop (one bounded launch per chunk, partial ELLs lane-merged into a
+    (nc, max_degree + 1) accumulator -- the same structure as the
+    chunked stream RAP): a single 48M-element sort program at 1M
+    vertices ran the remote compile helper out of memory (SIGKILL), and
+    one launch would also brush the device watchdog.
+    """
+    vf = op.num_vertices
+    if vf <= chunk_rows:
+        return _rap_2phase_full(op, u, max_degree, y_width)
+
+    from gravomg_tpu.solve.rap import _rap_finalize
+
+    nc = u.n_coarse
+    y_cols, y_vals, y_ovf = _au_local(op, u, y_width)
+
+    n_chunks = -(-vf // chunk_rows)
+    vpad = n_chunks * chunk_rows
+
+    def pad_rows(a, fill):
+        return jnp.pad(a, ((0, vpad - vf), (0, 0)), constant_values=fill)
+
+    uc_p = pad_rows(u.cols, 0)
+    uw_p = pad_rows(u.weights, 0)
+    yc_p = pad_rows(y_cols, INVALID_INDEX)
+    yv_p = pad_rows(y_vals, 0)
+
+    acc_cols = jnp.full((nc, max_degree + 1), INVALID_INDEX, jnp.int32)
+    acc_vals = jnp.zeros((nc, max_degree + 1), op.offdiag.dtype)
+    ovf = y_ovf
+    for c0 in range(n_chunks):
+        s = slice(c0 * chunk_rows, (c0 + 1) * chunk_rows)
+        acc_cols, acc_vals, ovf = _rap2_chunk_merge(
+            acc_cols, acc_vals, ovf, uc_p[s], uw_p[s], yc_p[s], yv_p[s],
+            max_degree)
+    return _rap_finalize(acc_cols, acc_vals, max_degree), ovf
 
 
 def galerkin_rap_local(op: EllOperator, u: Prolongation, max_degree: int,

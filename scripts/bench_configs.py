@@ -83,8 +83,9 @@ def timed_call(fn, *args):
 def pipeline(pts, k, cfg):
     pts = pts[morton_order(pts)].astype(np.float32)
     graph, short = grid_knn_graph_nosync(pts, k, margin=2.4)
-    lap, mass = g.graph_laplacian(graph, "invdist")
-    spd = lap._replace(diag=lap.diag + 0.5 * mass)
+    # alpha="auto": a fixed screening shift falls below f32 resolution
+    # as density grows (the 1M divergence, PROGRESS round-3 notes).
+    spd, mass = g.screened_poisson_operator(graph, alpha="auto")
     t0 = time.perf_counter()
     h, diags = build_hierarchy_device(graph, spd, cfg)
     probe = float(jnp.sum(h.solver.levels[-1].op.diag))
@@ -201,8 +202,7 @@ def c5b_meshes64():
         pts = pts[morton_order(pts)].astype(np.float32)
         graph, short = grid_knn_graph_nosync(pts, 12, margin=2.4)
         assert not bool(short)
-        lap, mass = g.graph_laplacian(graph, "invdist")
-        spd = lap._replace(diag=lap.diag + 0.5 * mass)
+        spd, mass = g.screened_poisson_operator(graph, alpha="auto")
         t0 = time.perf_counter()
         h, diags = build_hierarchy_device(graph, spd, cfg)
         float(jnp.sum(h.solver.levels[-1].op.diag))    # D2H barrier

@@ -334,6 +334,15 @@ def test_galerkin_rap_2phase_matches_full(rng):
     # Width overflow is flagged, not silent.
     _, o3 = galerkin_rap_2phase(op, u, nc + 5, y_width=4)
     assert bool(o3)
+    # Chunked phase 2 (the >chunk_rows path used at 1M) is the same
+    # operator, including with a ragged final chunk.
+    for chunk in (100, 128):
+        chk, o4 = galerkin_rap_2phase(op, u, nc + 5, y_width=nc + 5,
+                                      chunk_rows=chunk)
+        assert not bool(o4)
+        np.testing.assert_allclose(np.asarray(chk.as_dense()),
+                                   np.asarray(full.as_dense()),
+                                   rtol=1e-10, atol=1e-12)
 
 
 def test_lane_merge_oracle(rng):
