@@ -141,8 +141,11 @@ def main():
     def perturb_parents(s):
         return parents + jnp.int32(s * 1e-30)
 
-    rec("sampling_priority", lambda s: red(
-        fast_disc_sample_priority(perturb_graph(s), radius + s)[0]))
+    if N <= 500_000:
+        # Not the build default; its single-launch fixpoint exceeds the
+        # device watchdog at 1M (crashed the worker on the v2 run).
+        rec("sampling_priority", lambda s: red(
+            fast_disc_sample_priority(perturb_graph(s), radius + s)[0]))
 
     from gravomg_tpu.coarsen.parents import graph_minplus_operator
     from gravomg_tpu.coarsen.sampling import fast_disc_sample_chained
@@ -188,9 +191,12 @@ def main():
     rec("galerkin_rap_2phase", lambda s: red(
         galerkin_rap_2phase(spd._replace(diag=spd.diag + s), u,
                             min(128, cap), y_width=24)[0].offdiag))
-    rec("galerkin_rap_local", lambda s: red(
-        galerkin_rap_local(spd._replace(diag=spd.diag + s), u,
-                           min(128, cap), sync_retry=False)[0].offdiag))
+    if N <= 100_000:
+        # The mc*yw-lane merge OOMs the remote compiler above ~100k
+        # rows (repeatable SIGKILL; each attempt wastes ~30 min).
+        rec("galerkin_rap_local", lambda s: red(
+            galerkin_rap_local(spd._replace(diag=spd.diag + s), u,
+                               min(128, cap), sync_retry=False)[0].offdiag))
     rec("build_restriction", lambda s: red(
         build_restriction(u._replace(weights=u.weights + s),
                           ut_cap)[0].weights))
