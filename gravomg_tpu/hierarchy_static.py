@@ -63,6 +63,24 @@ class LevelDiagnostics(NamedTuple):
     bd_overflow: jax.Array = np.bool_(False)  # gather-free build caps
 
 
+def rap_cap_for_level(cap: int, rap_cap: int) -> int:
+    """Effective Galerkin degree cap for a level with coarse cap ``cap``.
+
+    Small/deep levels densify under the Galerkin product (hub cells
+    couple many parents; measured >128 on a 170k torus at level 3), and
+    a wider ELL there is nearly free (nc * degree words, and
+    :func:`compact_solver` re-slices columns to the observed max
+    afterwards).  Large levels keep the caller's ``rap_cap`` -- their
+    degree is bounded by geometry and their row count makes width
+    expensive.
+    """
+    if cap <= 2048:
+        return cap - 1           # overflow-proof: degree <= nc - 1
+    if cap <= 32768:
+        return min(cap - 1, max(rap_cap, 256))
+    return min(cap - 1, rap_cap)
+
+
 def plan_levels(v: int, cfg: MultigridConfig,
                 min_reduction: float = 2.5) -> List[int]:
     """Conservative static coarse-size caps per level.  Disc sampling
@@ -216,6 +234,16 @@ def build_hierarchy_device(
             cols=jnp.where(fine_valid[:, None], u.cols, 0),
             weights=jnp.where(fine_valid[:, None], u.weights, 0.0))
 
+        r_cap = rap_cap_for_level(cap, rap_cap)
+        # Same adaptivity for the lane-merged Y width: a fine row of
+        # A U can touch up to 3*(K+1) distinct coarse columns, so small
+        # levels widen toward that bound -- but capped at 48, because
+        # the phase-2 triplet emission unrolls 3*y_width slices into
+        # the HLO (an uncapped 3*(2047+1) width from a wide-RAP deep
+        # level compiled for tens of minutes on CPU).  Overflow past
+        # the cap is still detected (y_ovf -> diagnostics).
+        y_w = (rap_y_width if op.num_vertices > 65536
+               else min(3 * (op.max_degree + 1), max(rap_y_width, 48)))
         if sort_local:
             # Sort-local two-phase RAP (solve/rap2.py): lane merges
             # instead of the 9*nnz global lexsort; same operator.
@@ -223,7 +251,7 @@ def build_hierarchy_device(
             # compiler above ~100k rows -- small levels only.
             from gravomg_tpu.solve.rap2 import galerkin_rap_local
             coarse_op, r_ovf = galerkin_rap_local(
-                op, u, min(rap_cap, cap), y_width=rap_y_width,
+                op, u, r_cap, y_width=y_w,
                 sync_retry=False)
         elif rap_mode == "2phase":
             # Lane-merged Y then ONE small sort (3*y_width*Vf vs the
@@ -232,9 +260,9 @@ def build_hierarchy_device(
             # volume.  Same operator up to f32 add order.
             from gravomg_tpu.solve.rap2 import galerkin_rap_2phase
             coarse_op, r_ovf = galerkin_rap_2phase(
-                op, u, min(rap_cap, cap), y_width=rap_y_width)
+                op, u, r_cap, y_width=y_w)
         else:
-            coarse_op, r_ovf = galerkin_rap(op, u, min(rap_cap, cap))
+            coarse_op, r_ovf = galerkin_rap(op, u, r_cap)
 
         stats = HierarchyStats(
             n_fine=g.num_vertices, n_coarse=n_real,

@@ -365,3 +365,43 @@ def blockdense_minplus(op: BlockDenseOperator, x: jax.Array) -> jax.Array:
                                   indices_are_sorted=True)[:r]
         y = jnp.minimum(y, esc)
     return y
+
+
+def blockdense_minplus2(op: BlockDenseOperator, x_dist: jax.Array,
+                        x_pri: jax.Array, thresh) -> tuple:
+    """Two tropical reductions in ONE stream of M:
+
+      yd[i] = min_j (m_ij + x_dist[j])                (distance min-plus)
+      yp[i] = min over j with m_ij < thresh of x_pri[j]
+
+    The chained-gate MIS sampler needs both a shortest-path relaxation
+    (selected-conflict distances) and a neighborhood-min of priorities
+    (the wait gate) per round; running them as two
+    :func:`blockdense_minplus` calls streams M twice AND materializes a
+    second full-size operator with its entries zeroed (2.6 GB at 1M).
+    Here the gate is derived from M on the fly and both minima ride one
+    variadic reduce, so XLA's input fusion reads M once.  Requires a
+    combine="min" operator (+inf empty slots; an empty slot fails the
+    threshold, so it drops out of both reductions).
+    """
+    r = op.n_rows
+    wd = _gather_windows(op, jnp.where(jnp.isinf(x_dist), jnp.inf, x_dist))
+    wp = _gather_windows(op, x_pri)
+    gate = jnp.where(op.m < thresh, 0.0, jnp.inf).astype(op.m.dtype)
+    inf = jnp.asarray(jnp.inf, op.m.dtype)
+    yd, yp = jax.lax.reduce((op.m + wd, gate + wp), (inf, inf),
+                            lambda a, b: (jnp.minimum(a[0], b[0]),
+                                          jnp.minimum(a[1], b[1])), (2,))
+    yd = yd.reshape(-1)[:r]
+    yp = yp.reshape(-1)[:r]
+
+    if op.esc_w.shape[0]:
+        seg = jnp.minimum(op.esc_rows, r)
+        col = jnp.minimum(op.esc_cols, op.n_cols - 1)
+        cd = op.esc_w + x_dist[col]
+        cp = jnp.where(op.esc_w < thresh, x_pri[col], jnp.inf)
+        yd = jnp.minimum(yd, jax.ops.segment_min(
+            cd, seg, num_segments=r + 1, indices_are_sorted=True)[:r])
+        yp = jnp.minimum(yp, jax.ops.segment_min(
+            cp, seg, num_segments=r + 1, indices_are_sorted=True)[:r])
+    return yd, yp

@@ -100,23 +100,37 @@ def lane_merge(cols: jax.Array, vals: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("y_width",))
-def _au_local(op: EllOperator, u: Prolongation, y_width: int):
-    """Phase 1: Y = A U as per-fine-row (y_width) merged ELL."""
-    vf, k = op.neighbors.shape
-    safe = op.safe_neighbors()
-    a_off = jnp.where(op.mask, op.offdiag, 0.0)
+def _au_rows(neighbors: jax.Array, offdiag: jax.Array, diag: jax.Array,
+             row_cols: jax.Array, row_weights: jax.Array,
+             full_cols: jax.Array, full_weights: jax.Array, y_width: int):
+    """Phase 1 over a block of fine rows: Y = A U as per-row merged ELL.
+
+    ``neighbors/offdiag/diag/row_cols/row_weights`` hold the block's own
+    rows; ``full_cols/full_weights`` are the WHOLE prolongation (neighbor
+    ids are global fine indices).  Padding rows: neighbors INVALID, diag
+    0, row_cols INVALID -- lane_merge then yields an all-INVALID Y row.
+    """
+    mask = neighbors != INVALID_INDEX
+    safe = jnp.where(mask, neighbors, 0)
+    a_off = jnp.where(mask, offdiag, 0.0)
     cols_l, vals_l = [], []
     for b in range(3):
         # 2-D temps only: a (Vf, K, 3) gather tile-pads its minor dims
         # ~57x on TPU (PROGRESS.md).
-        cb = u.cols[:, b][safe]                        # (Vf, K)
-        cols_l.append(jnp.where(op.mask, cb, INVALID_INDEX))
-        vals_l.append(a_off * u.weights[:, b][safe])
-    cols_l.append(u.cols)                              # diagonal terms
-    vals_l.append(op.diag[:, None] * u.weights)
-    cand_cols = jnp.concatenate(cols_l, axis=1)        # (Vf, 3K + 3)
+        cb = full_cols[:, b][safe]                     # (rows, K)
+        cols_l.append(jnp.where(mask, cb, INVALID_INDEX))
+        vals_l.append(a_off * full_weights[:, b][safe])
+    cols_l.append(row_cols)                            # diagonal terms
+    vals_l.append(diag[:, None] * row_weights)
+    cand_cols = jnp.concatenate(cols_l, axis=1)        # (rows, 3K + 3)
     cand_vals = jnp.concatenate(vals_l, axis=1)
     return lane_merge(cand_cols, cand_vals, y_width)
+
+
+def _au_local(op: EllOperator, u: Prolongation, y_width: int):
+    """Phase 1: Y = A U as per-fine-row (y_width) merged ELL."""
+    return _au_rows(op.neighbors, op.offdiag, op.diag, u.cols, u.weights,
+                    u.cols, u.weights, y_width)
 
 
 @functools.partial(jax.jit, static_argnames=("n_coarse", "max_degree"))
@@ -209,7 +223,7 @@ def _rap2_chunk_merge(acc_cols, acc_vals, ovf, uc, uw, yc, yv,
 
 def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
                         max_degree: int, y_width: int = 16,
-                        chunk_rows: int = 400_000
+                        chunk_rows: int = 200_000
                         ) -> Tuple[EllOperator, jax.Array]:
     """A_c = U^T (A U) with a lane-merged Y and one SMALL global sort.
 
@@ -223,12 +237,17 @@ def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
     build_ell_rows scatter.  Same operator as ``galerkin_rap`` up to
     f32 add order; returns (A_c, overflow).
 
-    Above ``chunk_rows`` fine rows, phase 2 runs as a host-level chunk
-    loop (one bounded launch per chunk, partial ELLs lane-merged into a
-    (nc, max_degree + 1) accumulator -- the same structure as the
-    chunked stream RAP): a single 48M-element sort program at 1M
-    vertices ran the remote compile helper out of memory (SIGKILL), and
-    one launch would also brush the device watchdog.
+    Above ``chunk_rows`` fine rows, BOTH phases run as a host-level
+    chunk loop over row blocks (phase 1 is per-fine-row independent;
+    each chunk's Y feeds one bounded phase-2 launch whose partial ELL
+    lane-merges into a (nc, max_degree + 1) accumulator -- the same
+    structure as the chunked stream RAP).  Single whole-problem
+    programs at 1M vertices ran the remote compile helper out of
+    memory (SIGKILL) -- first the 48M-element phase-2 sort, then, once
+    that was chunked, the (1M, 3K+3) phase-1 lane merge itself -- and
+    one launch would also brush the device watchdog.  200k-row
+    programs are the largest this pipeline has ever compiled cleanly,
+    so that is the chunk size.
     """
     vf = op.num_vertices
     if vf <= chunk_rows:
@@ -237,27 +256,31 @@ def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
     from gravomg_tpu.solve.rap import _rap_finalize
 
     nc = u.n_coarse
-    y_cols, y_vals, y_ovf = _au_local(op, u, y_width)
-
     n_chunks = -(-vf // chunk_rows)
     vpad = n_chunks * chunk_rows
 
     def pad_rows(a, fill):
         return jnp.pad(a, ((0, vpad - vf), (0, 0)), constant_values=fill)
 
-    uc_p = pad_rows(u.cols, 0)
-    uw_p = pad_rows(u.weights, 0)
-    yc_p = pad_rows(y_cols, INVALID_INDEX)
-    yv_p = pad_rows(y_vals, 0)
+    neigh_p = pad_rows(op.neighbors, INVALID_INDEX)
+    offd_p = pad_rows(op.offdiag, 0)
+    diag_p = jnp.pad(op.diag, (0, vpad - vf))
+    uc_p = pad_rows(u.cols, 0)           # phase-2 row targets (masked
+    uw_p = pad_rows(u.weights, 0)        # by Y validity)
+    ucy_p = pad_rows(u.cols, INVALID_INDEX)  # phase-1 diag term: an
+    #                                    all-INVALID row drops cleanly
 
     acc_cols = jnp.full((nc, max_degree + 1), INVALID_INDEX, jnp.int32)
     acc_vals = jnp.zeros((nc, max_degree + 1), op.offdiag.dtype)
-    ovf = y_ovf
+    ovf = jnp.bool_(False)
     for c0 in range(n_chunks):
         s = slice(c0 * chunk_rows, (c0 + 1) * chunk_rows)
+        y_cols, y_vals, y_ovf = _au_rows(
+            neigh_p[s], offd_p[s], diag_p[s], ucy_p[s], uw_p[s],
+            u.cols, u.weights, y_width)
         acc_cols, acc_vals, ovf = _rap2_chunk_merge(
-            acc_cols, acc_vals, ovf, uc_p[s], uw_p[s], yc_p[s], yv_p[s],
-            max_degree)
+            acc_cols, acc_vals, ovf | y_ovf, uc_p[s], uw_p[s],
+            y_cols, y_vals, max_degree)
     return _rap_finalize(acc_cols, acc_vals, max_degree), ovf
 
 

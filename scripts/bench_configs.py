@@ -91,7 +91,19 @@ def pipeline(pts, k, cfg):
     probe = float(jnp.sum(h.solver.levels[-1].op.diag))
     t_build = time.perf_counter() - t0
     assert not bool(short)
-    check_diagnostics(diags)
+    try:
+        check_diagnostics(diags)
+    except RuntimeError as e:
+        # One escalation retry: double the degree caps (the config
+        # meshes are not the tuned-headline cloud; a wider build beats
+        # an error row).  Timed fresh -- the retry is the real build.
+        print(f"# cap escalation retry: {e}", file=sys.stderr)
+        t0 = time.perf_counter()
+        h, diags = build_hierarchy_device(graph, spd, cfg, kc_cap=96,
+                                          rap_cap=256, rap_y_width=48)
+        probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+        t_build = time.perf_counter() - t0
+        check_diagnostics(diags)
     # Same operator stack as the headline bench: bucketed slab kernels
     # on the large levels, uniform block-dense on the rest.
     sol = compact_solver(h.solver, diags)
