@@ -81,3 +81,41 @@ def test_blockdense_rectangular_prolong_restrict(rng):
     np.testing.assert_allclose(np.asarray(blockdense_matvec(utw, xf)),
                                np.asarray(restrict(u, xf)),
                                rtol=1e-11, atol=1e-12)
+
+
+def test_blockdense_minplus2_matches_dense(rng):
+    """Fused dual reduction == dense tropical matvec + thresholded
+    neighborhood-min computed independently (escape chute included)."""
+    from gravomg_tpu.coarsen.parents import graph_minplus_operator
+    from gravomg_tpu.ops.blockdense import (blockdense_minplus,
+                                            blockdense_minplus2)
+
+    pts = torus_points(1800, seed=5)
+    pts = pts[morton_order(pts)]
+    graph = g.knn_graph(jnp.asarray(pts), k=10)
+    # Small windows force real escape-chute traffic.
+    bd, ovf = graph_minplus_operator(graph, block=16, window=32, nw=2,
+                                     escape_cap=1800 * 10)
+    assert not bool(ovf)
+    v = graph.num_vertices
+    thresh = float(g.sampling_radius(graph))
+
+    xd = jnp.where(jnp.asarray(rng.normal(size=v)) > 0.8, 0.0, jnp.inf)
+    xp = jnp.asarray(rng.normal(size=v).astype(np.float32))
+    yd, yp = blockdense_minplus2(bd, xd, xp, thresh)
+
+    # Distance half == the single-purpose tropical matvec.
+    np.testing.assert_array_equal(np.asarray(yd),
+                                  np.asarray(blockdense_minplus(bd, xd)))
+
+    # Priority half == dense reference over the ELL graph.
+    nbr = np.asarray(graph.safe_neighbors())
+    dst = np.asarray(graph.distances)
+    msk = np.asarray(graph.mask) & (dst < thresh)
+    ref = np.full(v, np.inf, np.float32)
+    xpn = np.asarray(xp)
+    for i in range(v):
+        js = nbr[i][msk[i]]
+        if js.size:
+            ref[i] = xpn[js].min()
+    np.testing.assert_array_equal(np.asarray(yp), ref)
