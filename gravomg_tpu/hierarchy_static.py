@@ -107,7 +107,7 @@ def build_hierarchy_device(
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,
         rap_y_width: int = 24, chained_sampling: bool = True,
-        rap_mode: str = "2phase",
+        rap_mode: str = "2phase", ece_local: bool = True,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -209,7 +209,12 @@ def build_hierarchy_device(
             bd_ovf = bd_ovf | p_ovf2
         else:
             parents, _ = assign_parents(g, samples)
-        if sort_local:
+        if sort_local or ece_local:
+            # Sort-local extraction: identical pattern contract
+            # (lane merges over per-parent child groups instead of the
+            # V*K global sort), measured 2.9x faster at 1M (773 ms vs
+            # 2248 ms).  Independent of the sort-local RAP below, which
+            # stays opt-in (its wide merge OOMs the compiler at scale).
             from gravomg_tpu.coarsen.graph import \
                 extract_coarse_edges_local
             columns, e_ovf = extract_coarse_edges_local(

@@ -86,6 +86,7 @@ def pipeline(pts, k, cfg):
     # alpha="auto": a fixed screening shift falls below f32 resolution
     # as density grows (the 1M divergence, PROGRESS round-3 notes).
     spd, mass = g.screened_poisson_operator(graph, alpha="auto")
+    build_kw = {}
     t0 = time.perf_counter()
     h, diags = build_hierarchy_device(graph, spd, cfg)
     probe = float(jnp.sum(h.solver.levels[-1].op.diag))
@@ -98,12 +99,25 @@ def pipeline(pts, k, cfg):
         # meshes are not the tuned-headline cloud; a wider build beats
         # an error row).  Timed fresh -- the retry is the real build.
         print(f"# cap escalation retry: {e}", file=sys.stderr)
+        build_kw = dict(kc_cap=96, rap_cap=256, rap_y_width=48)
         t0 = time.perf_counter()
-        h, diags = build_hierarchy_device(graph, spd, cfg, kc_cap=96,
-                                          rap_cap=256, rap_y_width=48)
+        h, diags = build_hierarchy_device(graph, spd, cfg, **build_kw)
         probe = float(jnp.sum(h.solver.levels[-1].op.diag))
         t_build = time.perf_counter() - t0
         check_diagnostics(diags)
+    # Warm rebuild: the first build's wall time is dominated by the
+    # remote compile service (~15-30 s per fresh shape -- 238 s for a
+    # 5k cloud in the cold pass), which says nothing about the build
+    # itself.  Every shape is now cached in-process, so a second build
+    # is the honest per-mesh hierarchy cost (the quantity BASELINE's
+    # "hierarchy construction" target tracks; bench.py separates the
+    # two the same way).
+    t0 = time.perf_counter()
+    h, diags = build_hierarchy_device(graph, spd, cfg, **build_kw)
+    probe = float(jnp.sum(h.solver.levels[-1].op.diag))  # noqa: F841
+    t_warm = time.perf_counter() - t0
+    t_build = {"t_build_s": round(t_warm, 3),
+               "t_build_cold_s": round(t_build, 3)}
     # Same operator stack as the headline bench: bucketed slab kernels
     # on the large levels, uniform block-dense on the rest.
     sol = compact_solver(h.solver, diags)
@@ -122,7 +136,7 @@ def c1_sphere5k():
     t, (x, rel, it) = timed_call(
         lambda: g.mg_pcg(sol, b, cfg))
     emit({"config": "c1_sphere5k", "n": pts.shape[0], "levels": levels,
-          "t_build_s": round(t_build, 3), "solve_s": round(t, 4),
+          **t_build, "solve_s": round(t, 4),
           "rel_residual": float(rel), "iters": int(it)})
 
 
@@ -143,7 +157,7 @@ def c2_mesh35k():
     t8, _ = timed_call(lambda: run_cycles(sol, b, 8))
     t_pcg, (x, rel, it) = timed_call(lambda: g.mg_pcg(sol, b, cfg))
     emit({"config": "c2_mesh35k", "n": pts.shape[0], "levels": levels,
-          "t_build_s": round(t_build, 3),
+          **t_build,
           "vcycle8_s": round(t8, 4),
           "pcg_solve_s": round(t_pcg, 4), "rel_residual": float(rel),
           "iters": int(it)})
@@ -158,7 +172,7 @@ def c3_heat170k():
                                                cfg=cfg))
     finite = bool(jnp.all(jnp.isfinite(phi)))
     emit({"config": "c3_heat170k", "n": pts.shape[0], "levels": levels,
-          "t_build_s": round(t_build, 3),
+          **t_build,
           "two_solve_heat_s": round(t, 4), "finite": finite})
 
 
@@ -187,7 +201,7 @@ def c5_batch64():
     t, out = timed_call(lambda: batch_cycle(sol, bs))
     t_seq, _ = timed_call(lambda: seq_cycle(sol, bs))
     emit({"config": "c5_batch64", "n": pts.shape[0], "batch": 64,
-          "levels": levels, "t_build_s": round(t_build, 3),
+          "levels": levels, **t_build,
           "batch64_vcycle_s": round(t, 4),
           "sequential64_vcycle_s": round(t_seq, 4),
           "batch_speedup": round(t_seq / max(t, 1e-9), 2),
@@ -278,7 +292,7 @@ def c6_spectral():
     float(jnp.sum(vecs[:1, :1]))
     t = time.perf_counter() - t0
     emit({"config": "c6_spectral", "n": n, "k": k,
-          "t_build_s": round(t_build, 3),
+          **t_build,
           "eigs_total_s": round(t, 3),
           "max_resnorm": float(jnp.max(res)),
           "lam_1": float(lams[1]), "lam_k": float(lams[-1]),
