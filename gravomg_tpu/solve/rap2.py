@@ -99,6 +99,9 @@ def lane_merge(cols: jax.Array, vals: jax.Array,
     return cols_out, vals_out, overflow
 
 
+_AU_GROUP = 32  # neighbor columns merged per lane sort (see _au_rows)
+
+
 @functools.partial(jax.jit, static_argnames=("y_width",))
 def _au_rows(neighbors: jax.Array, offdiag: jax.Array, diag: jax.Array,
              row_cols: jax.Array, row_weights: jax.Array,
@@ -109,22 +112,43 @@ def _au_rows(neighbors: jax.Array, offdiag: jax.Array, diag: jax.Array,
     rows; ``full_cols/full_weights`` are the WHOLE prolongation (neighbor
     ids are global fine indices).  Padding rows: neighbors INVALID, diag
     0, row_cols INVALID -- lane_merge then yields an all-INVALID Y row.
+
+    Neighbor columns are consumed in groups of ``_AU_GROUP``, each
+    group's 3 candidate blocks lane-merged into the running (y_width)
+    accumulator: every sort stays <= y_width + 3*_AU_GROUP + 3 lanes
+    wide no matter how wide the level's ELL is.  (The single
+    3K+3-candidate sort at a build-time K=128 level was a 387-lane
+    3-operand sort that ran the remote compile helper out of memory --
+    measured SIGKILL at (200k, 128).)  For K <= _AU_GROUP this is
+    bit-identical to the one-shot merge; otherwise equal up to f32 add
+    order, the documented 2phase contract.  Dropped-entry behavior
+    under y-overflow is unchanged: the flag is set and the result is
+    invalid either way.
     """
+    rows, k = neighbors.shape
     mask = neighbors != INVALID_INDEX
     safe = jnp.where(mask, neighbors, 0)
     a_off = jnp.where(mask, offdiag, 0.0)
-    cols_l, vals_l = [], []
-    for b in range(3):
-        # 2-D temps only: a (Vf, K, 3) gather tile-pads its minor dims
-        # ~57x on TPU (PROGRESS.md).
-        cb = full_cols[:, b][safe]                     # (rows, K)
-        cols_l.append(jnp.where(mask, cb, INVALID_INDEX))
-        vals_l.append(a_off * full_weights[:, b][safe])
-    cols_l.append(row_cols)                            # diagonal terms
-    vals_l.append(diag[:, None] * row_weights)
-    cand_cols = jnp.concatenate(cols_l, axis=1)        # (rows, 3K + 3)
-    cand_vals = jnp.concatenate(vals_l, axis=1)
-    return lane_merge(cand_cols, cand_vals, y_width)
+    acc_cols = acc_vals = None
+    ovf = jnp.bool_(False)
+    for g0 in range(0, k, _AU_GROUP):
+        sl = slice(g0, min(g0 + _AU_GROUP, k))
+        cols_l = [] if acc_cols is None else [acc_cols]
+        vals_l = [] if acc_vals is None else [acc_vals]
+        for b in range(3):
+            # 2-D temps only: a (Vf, K, 3) gather tile-pads its minor
+            # dims ~57x on TPU (PROGRESS.md).
+            cb = full_cols[:, b][safe[:, sl]]          # (rows, <=32)
+            cols_l.append(jnp.where(mask[:, sl], cb, INVALID_INDEX))
+            vals_l.append(a_off[:, sl] * full_weights[:, b][safe[:, sl]])
+        if g0 + _AU_GROUP >= k:                # last group: diag terms
+            cols_l.append(row_cols)
+            vals_l.append(diag[:, None] * row_weights)
+        acc_cols, acc_vals, o = lane_merge(
+            jnp.concatenate(cols_l, axis=1),
+            jnp.concatenate(vals_l, axis=1), y_width)
+        ovf = ovf | o
+    return acc_cols, acc_vals, ovf
 
 
 def _au_local(op: EllOperator, u: Prolongation, y_width: int):
