@@ -398,3 +398,27 @@ def test_extract_coarse_edges_local_matches_baseline(rng):
                 graph, parents, fv)
     assert not bool(o3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_galerkin_rap_2phase_wide_k_grouped(rng):
+    """K > _AU_GROUP exercises the grouped phase-1 merge (the one-shot
+    3K+3-lane sort at build-time K=128 levels OOMed the TPU compile
+    helper); the grouped result must still equal the stream baseline,
+    chunked or not."""
+    from gravomg_tpu.solve.rap2 import _AU_GROUP, galerkin_rap_2phase
+    op, dense = _random_ell_spd(rng, n=220, k=70)
+    assert op.neighbors.shape[1] > _AU_GROUP
+    nc = 30
+    cols = rng.integers(0, nc, size=(220, 3)).astype(np.int32)
+    w = rng.random(size=(220, 3))
+    w /= w.sum(axis=1, keepdims=True)
+    u = g.Prolongation(jnp.asarray(cols), jnp.asarray(w), nc)
+    full, o1 = g.galerkin_rap(op, u, nc)
+    assert not bool(o1)
+    for chunk in (10 ** 9, 100):
+        two, o2 = galerkin_rap_2phase(op, u, nc, y_width=nc,
+                                      chunk_rows=chunk)
+        assert not bool(o2)
+        np.testing.assert_allclose(np.asarray(two.as_dense()),
+                                   np.asarray(full.as_dense()),
+                                   rtol=1e-10, atol=1e-12)
