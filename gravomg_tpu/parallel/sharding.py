@@ -135,6 +135,49 @@ def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
     return h._replace(levels=tuple(levels))
 
 
+def shard_fast_operator(bop, mesh: Mesh, axis: str = "data"):
+    """Lay a :class:`~gravomg_tpu.ops.blockdense.BlockDenseOperator` out
+    over the mesh: the window matrix M (the dominant traffic, ~95% of a
+    fast SpMV's bytes) and the per-block window starts are sharded over
+    the row-block axis when the block count divides the mesh; the small
+    escape-chute COO is replicated (its segment-sum spans all rows).
+
+    Inside a jitted solve the window gather of x reads arbitrary
+    128-row segments, so XLA all-gathers x once per matvec -- the same
+    collective the ELL path pays -- while each device streams only its
+    M shard.  Build the operator with ``block = n_rows / n_devices``
+    (or a divisor) so ``nblk % n_devices == 0``; misaligned operators
+    fall back to full replication (correct, not scaled).
+
+    Slab forms (ops/slab.py) are left untouched by the sharded path:
+    their bucket row-permutation is a single-chip layout.
+    """
+    from gravomg_tpu.ops.blockdense import BlockDenseOperator
+
+    if bop is None or not isinstance(bop, BlockDenseOperator):
+        return bop
+    nd = mesh.devices.size
+    rep = NamedSharding(mesh, P())
+    ok = (bop.m.shape[0] % nd == 0
+          and bop.m.shape[0] * bop.m.shape[1] == bop.n_rows)
+    m = jax.device_put(bop.m,
+                       NamedSharding(mesh, P(axis, None, None))
+                       if ok else rep)
+    ws = jax.device_put(bop.win_start,
+                        NamedSharding(mesh, P(axis, None))
+                        if ok else rep)
+    diag = bop.diag
+    if diag is not None:
+        dok = diag.shape[0] % nd == 0
+        diag = jax.device_put(diag, NamedSharding(mesh, P(axis))
+                              if dok else rep)
+    return bop._replace(
+        m=m, win_start=ws, diag=diag,
+        esc_rows=jax.device_put(bop.esc_rows, rep),
+        esc_cols=jax.device_put(bop.esc_cols, rep),
+        esc_w=jax.device_put(bop.esc_w, rep))
+
+
 def shard_solver(h: SolverHierarchy, mesh: Mesh,
                  axis: str = "data") -> SolverHierarchy:
     """Lay a padded hierarchy out over the mesh: every level's operator
@@ -146,6 +189,12 @@ def shard_solver(h: SolverHierarchy, mesh: Mesh,
     jitted solve inherit these layouts through XLA sharding
     propagation; dot products become psums on ICI (scaling-book
     recipe: annotate inputs, let XLA place the collectives).
+
+    Block-dense fast forms (``banded``/``uw``/``utw``), when present,
+    are sharded too (:func:`shard_fast_operator`) -- attach them AFTER
+    :func:`pad_solver_levels` (which drops pre-pad forms) with
+    mesh-aligned blocks, e.g.
+    ``attach_fast_operators(hp, block=v_padded // n_devices)``.
     """
     nd = mesh.devices.size
     row = NamedSharding(mesh, P(axis))
@@ -178,6 +227,10 @@ def shard_solver(h: SolverHierarchy, mesh: Mesh,
         cheb = lvl.cheb
         if cheb is not None:
             cheb = jax.tree.map(lambda a: put(a, rep), cheb)
+        lvl = lvl._replace(
+            banded=shard_fast_operator(lvl.banded, mesh, axis),
+            uw=shard_fast_operator(lvl.uw, mesh, axis),
+            utw=shard_fast_operator(lvl.utw, mesh, axis))
         levels.append(lvl._replace(op=op, u=u, ut=ut, cheb=cheb))
     return h._replace(levels=tuple(levels),
                       coarse_chol=put(h.coarse_chol, rep))

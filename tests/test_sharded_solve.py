@@ -96,3 +96,34 @@ def test_sharded_fcg_converges(solver):
     x, rel, it = sharded_solve(hp, b, cfg, mesh, method="mg_fcg")
     assert float(rel) < cfg.tolerance
     assert int(it) < 40
+
+
+def test_sharded_fast_operators_solve(solver):
+    """Fast (block-dense) forms attached AFTER padding with mesh-aligned
+    blocks shard their window matrix M over the row-block axis; the
+    sharded fast solve converges and matches the sharded ELL solve."""
+    hs, b, cfg = solver
+    mesh = make_mesh(8)
+    hp = pad_solver_levels(hs, 8)
+    v0 = hp.levels[0].op.num_vertices
+    hf = g.attach_fast_operators(hp, block=v0 // 8)
+    hf = shard_solver(hf, mesh)
+
+    # The fine level's M really is sharded over the mesh axis.
+    bop = hf.levels[0].banded
+    assert bop is not None and bop.m.shape[0] % 8 == 0
+    spec = bop.m.sharding.spec
+    assert spec and spec[0] == "data", spec
+
+    x, rel, it = sharded_solve(hf, b, cfg, mesh)
+    assert float(rel) < cfg.tolerance
+
+    hp_ell = shard_solver(hp, mesh)
+    x_ref, rel_ref, it_ref = sharded_solve(hp_ell, b, cfg, mesh)
+    assert abs(int(it) - int(it_ref)) <= 2
+    # Different f32 preconditioners (fast vs ELL add order) satisfy the
+    # same 1e-8 residual at solutions separated by up to cond(A)*tol;
+    # measured ~1.4e-4 relative here.
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=1e-3 * scale)
