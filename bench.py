@@ -238,12 +238,17 @@ from gravomg_tpu.io.serialization import save_solver
 save_solver(sys.argv[5], sol)
 """
 
-# Warm build: runs in a fresh subprocess AFTER the main script has
-# populated the persistent compile cache; async dispatch stays clean
-# (no D2H before the final probe), so the probe-to-probe wall time is
-# the true warm pipeline-and-build latency.
+# Warm build: run the whole pipeline twice in one process and time the
+# SECOND pass -- every shape is then compile-cached in-process, so the
+# number is the true warm pipeline-and-build latency regardless of the
+# persistent cache's state.  (Relying on the main script to pre-warm
+# the persistent cache broke whenever the slope artifact was already
+# cached: the "warm" subprocess then measured a cold compile storm,
+# 875 s at 1M.)
 _WARM_BUILD_SCRIPT = _COMMON + r"""
 n, out = int(sys.argv[1]), sys.argv[-1]
+cfg, graph, spd, h, diags, short = build_pipeline(n)
+probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 t0 = time.perf_counter()
 cfg, graph, spd, h, diags, short = build_pipeline(n)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
