@@ -78,16 +78,27 @@ def _ece_local(graph: Graph, parents: jax.Array, fine_valid: jax.Array,
     tmask = table != INVALID_INDEX
     safe = jnp.where(tmask, table, 0)
     row_p = jnp.arange(n_coarse, dtype=jnp.int32)[:, None]
-    cand_l = []
-    for j in range(max_children):            # 2-D temps per child slot
-        cj = pn[safe[:, j]]                                # (nc, K)
-        cj = jnp.where(tmask[:, j][:, None] & (cj != row_p), cj,
-                       INVALID_INDEX)
-        cand_l.append(cj)
-    cand = jnp.concatenate(cand_l, axis=1)                 # (nc, mc*K)
-    cols, _, m_ovf = lane_merge(cand, jnp.zeros(cand.shape, jnp.float32),
-                                max_degree)
-    return cols, t_ovf, m_ovf
+    # Child slots are consumed in groups and lane-merged into a running
+    # (max_degree) accumulator: the one-shot (nc, mc*K) candidate
+    # matrix was (423808, 1216) at 1M -- multi-GB sort transients that
+    # pushed the full build over HBM (RESOURCE_EXHAUSTED); grouped, the
+    # widest sort is max_degree + ~256 lanes.  Distinct-count is
+    # monotone, so per-step overflow == final overflow.
+    gsz = max(1, 256 // k)
+    acc = None
+    m_ovf = jnp.bool_(False)
+    for g0 in range(0, max_children, gsz):
+        cand_l = [] if acc is None else [acc]
+        for j in range(g0, min(g0 + gsz, max_children)):
+            cj = pn[safe[:, j]]                            # (nc, K)
+            cj = jnp.where(tmask[:, j][:, None] & (cj != row_p), cj,
+                           INVALID_INDEX)
+            cand_l.append(cj)
+        cand = jnp.concatenate(cand_l, axis=1)
+        acc, _, o = lane_merge(cand, jnp.zeros(cand.shape, jnp.float32),
+                               max_degree)
+        m_ovf = m_ovf | o
+    return acc, t_ovf, m_ovf
 
 
 def extract_coarse_edges_local(graph: Graph, parents: jax.Array,
