@@ -51,7 +51,10 @@ spd = lap._replace(diag=lap.diag + 0.5 * mass)
 h, diags = build_hierarchy_device(graph, spd, cfg)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 check_diagnostics(diags)
-sol = g.attach_fast_operators(compact_solver(h.solver, diags))  # completion barrier
+# Same operator stack as the headline bench: bucketed slab kernels on
+# the large levels, uniform block-dense on the rest.
+sol = g.attach_fast_operators(
+    g.attach_slab_operators(compact_solver(h.solver, diags)))
 
 shapes = [(l.op.num_vertices, l.op.max_degree) for l in sol.levels]
 print(f"# levels (padded V, K): {shapes}", file=sys.stderr)
