@@ -132,6 +132,19 @@ def build_hierarchy_device(
     if level_caps is None:
         level_caps = plan_levels(graph.num_vertices, cfg)
 
+    # GRAVOMG_VERBOSE=1: stderr breadcrumb before each stage DISPATCH
+    # (stages are async; on a device crash the last line names the
+    # stage group in flight -- the only attribution available without
+    # paying the D2H dispatch tax).
+    import os as _os
+    import sys as _sys
+    if _os.environ.get("GRAVOMG_VERBOSE") == "1":
+        def _note(msg):
+            print(f"# build: {msg}", file=_sys.stderr, flush=True)
+    else:
+        def _note(msg):
+            pass
+
     g = graph
     fine_valid = jnp.ones((graph.num_vertices,), bool)
     op = fine_op
@@ -141,6 +154,7 @@ def build_hierarchy_device(
     diags: List[LevelDiagnostics] = []
 
     for cap in level_caps:
+        _note(f"level v={g.num_vertices} cap={cap}: sampling")
         radius = sampling_radius(g, cfg.reduction_ratio)
         bd_ovf = jnp.bool_(False)
         shared_bd = shared_bd_ovf = None
@@ -204,6 +218,7 @@ def build_hierarchy_device(
         cap_overflow = n_real > cap
 
         if gather_free:
+            _note("parents")
             parents, _, p_ovf2 = assign_parents_bd(
                 g, samples, bd=shared_bd, bd_ovf=shared_bd_ovf)
             bd_ovf = bd_ovf | p_ovf2
@@ -224,14 +239,17 @@ def build_hierarchy_device(
             columns, e_ovf = extract_coarse_edges(
                 g, parents, cap, min(kc_cap, cap - 1),
                 fine_valid=fine_valid)
+        _note("coarse edges + placement")
         coarse_points = coarse_from_mean_of_fine_children(
             g, parents, samples, fine_valid=fine_valid)
         cg = coarse_graph(columns, coarse_points)
 
         t_max = tri_factor * cap
         a_max = assoc_factor * min(kc_cap, cap - 1)
+        _note("voronoi triangles")
         triangles, t_ovf = construct_voronoi_triangles(cg, t_max, a_max)
 
+        _note("prolongation")
         u, counts = construct_prolongation(
             g.points, parents, coarse_points, cg.neighbors, triangles,
             scheme=cfg.weighting)
@@ -239,6 +257,7 @@ def build_hierarchy_device(
             cols=jnp.where(fine_valid[:, None], u.cols, 0),
             weights=jnp.where(fine_valid[:, None], u.weights, 0.0))
 
+        _note("galerkin rap")
         r_cap = rap_cap_for_level(cap, rap_cap)
         # Same adaptivity for the lane-merged Y width: a fine row of
         # A U can touch up to 3*(K+1) distinct coarse columns, so small
@@ -300,11 +319,13 @@ def build_hierarchy_device(
             # cap uses a 12x headroom factor over the padded-size mean.
             cap = min(-(-max(8, 12 * 3 * u.n_fine // u.n_coarse) // 8)
                       * 8, u.n_fine)
+            _note("restriction")
             ut, rt_ovf = build_restriction(u, cap)
             diags[i] = diags[i]._replace(rt_overflow=rt_ovf)
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
                 if cfg.smoother == "chebyshev" else None)
         solver_levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut))
+    _note("coarse factorization")
     chol = factor_coarse(ops[-1])
     solver = SolverHierarchy(levels=tuple(solver_levels), coarse_chol=chol)
     return (Hierarchy(graphs=tuple(graphs), levels=tuple(level_data),
