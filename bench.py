@@ -568,6 +568,15 @@ def main():
               file=sys.stderr)
         bcpu = {"cpu_build_s": float("nan")}
     tpu_ms = max(r["slope_s"] * 1000, 1e-4)
+    # The default solve path (solve/cg.py::mg_solve): bf16-FCG above
+    # the config threshold, f32 MG-PCG below -- report its
+    # time-to-target as the solver headline alongside the V-cycle slope.
+    if BENCH_N >= 500_000 and r.get("pcg16_rel", 1.0) <= 1e-8:
+        t_default = r.get("time_to_1e8_bf16_s", r["time_to_1e8_s"])
+        default_path = "bf16_fcg"
+    else:
+        t_default = r["time_to_1e8_s"]
+        default_path = "f32_pcg"
     out = {
         "metric": f"vcycle_ms_{BENCH_N}v",
         "value": round(tpu_ms, 4),
@@ -603,6 +612,8 @@ def main():
           f"pcg_iter_ms={r['pcg_iter_s']*1000:.3f} "
           f"pcg_iters_to_1e8={r['pcg_iters']} pcg_rel={r['pcg_rel']:.2e} "
           f"time_to_1e8_s={r['time_to_1e8_s']:.4f} "
+          f"default_path={default_path} "
+          f"time_to_1e8_default_s={t_default:.4f} "
           f"bf16: pcg_iter_ms={r.get('pcg16_iter_s', 0)*1000:.3f} "
           f"iters={r.get('pcg16_iters', -1)} "
           f"rel={r.get('pcg16_rel', -1):.2e} "

@@ -50,12 +50,13 @@ from gravomg_tpu.solve.smoothers import (ChebyshevParams, chebyshev,
                                          weighted_jacobi)
 from gravomg_tpu.solve.vcycle import (SolverHierarchy, SolverLevel,
                                       attach_fast_operators,
+                                      attach_operators,
                                       attach_restrictions,
                                       attach_slab_operators,
                                       cast_fast_operators, fmg,
                                       level_matvec, solve, solve_refined,
                                       solve_with_history, v_cycle)
-from gravomg_tpu.solve.cg import fcg, mg_fcg, mg_pcg, pcg
+from gravomg_tpu.solve.cg import fcg, mg_fcg, mg_pcg, mg_solve, pcg
 from gravomg_tpu.hierarchy import (Hierarchy, LevelData, build_hierarchy,
                                    coarsen_once)
 from gravomg_tpu.hierarchy_static import (LevelDiagnostics,

@@ -46,3 +46,12 @@ class MultigridConfig:
     # --- outer iteration ---
     tolerance: float = 1e-8           # relative residual target (BASELINE)
     max_cycles: int = 200
+    # Above this many fine rows the default solve (solve.cg.mg_solve)
+    # preconditions flexible CG with a bf16-cast V-cycle: the window
+    # matrices are the dominant HBM stream and bf16 halves them.
+    # Measured at 1M (BENCH r3/r4): bf16-FCG 0.346 s vs f32-PCG
+    # 0.380 s to 1e-8; at 200k f32 still wins (more iters at small
+    # scale), hence a threshold rather than a global default.  FCG's
+    # Polak-Ribiere beta is what makes the rounded preconditioner
+    # convergent (fixed-beta PCG diverged under bf16, BENCH_r02).
+    bf16_threshold: int = 500_000

@@ -1,4 +1,12 @@
-"""Banded ELL SpMV: the TPU-native sparse matvec for spatially ordered
+"""Banded ELL SpMV (EXPERIMENTAL -- superseded, not shipped).
+
+Quarantined per docs/DESIGN.md §7: the shipped formats are
+``ops/slab.py`` (large levels) and ``ops/blockdense.py`` (small
+levels).  This module is kept because its measurements (the 129-offset
+DIA sweep below) established the cost model those formats are built
+on, and its tests pin that the format still works.
+
+Original rationale: the TPU-native sparse matvec for spatially ordered
 graphs (BASELINE "blocked-ELL" north star).
 
 Why.  XLA's TPU gather costs ~7 ns per gathered *index* regardless of

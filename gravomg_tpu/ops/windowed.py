@@ -1,4 +1,9 @@
-"""Windowed rectangular sparse matvec (gather-free transfer operators).
+"""Windowed rectangular sparse matvec (EXPERIMENTAL -- superseded).
+
+Quarantined per docs/DESIGN.md §7: rectangular transfers ship on the
+block-dense/slab forms (``ops/blockdense.py`` / ``ops/slab.py``),
+which subsume this format's windows with per-block anchors.  Kept for
+its recorded measurements and tests.
 
 Same cost model as ops/banded.py: XLA gather costs ~7 ns per index, so
 applying U (V_f x V_c, <=3 nnz/row) by gathering coarse values per row

@@ -81,7 +81,8 @@ def pad_solver_fine_level(h: SolverHierarchy, mult: int) -> SolverHierarchy:
     return h._replace(levels=(new_lvl,) + h.levels[1:])
 
 
-def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
+def pad_solver_levels(h: SolverHierarchy, mult: int,
+                      pad_coarse: bool = False) -> SolverHierarchy:
     """Pad EVERY level but the coarsest to a vertex count divisible by
     ``mult`` so the whole V-cycle shards evenly (VERDICT r2 task 8: the
     finest-level-only padding demonstrated layouts, not scaling).
@@ -90,8 +91,11 @@ def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
     padded prolongation rows carry zero weights; padded restriction
     rows are INVALID (yield exact 0).  Zero is a fixed point of every
     padded row under smoothing/transfer, so the solve is bit-unchanged
-    on the real rows.  The coarsest level keeps its exact size: its
-    dense Cholesky factor is replicated anyway.
+    on the real rows.  By default the coarsest level keeps its exact
+    size (its dense Cholesky factor is replicated anyway);
+    ``pad_coarse=True`` pads it too and extends the Cholesky factor
+    with an identity block -- required by the halo-sharded path
+    (parallel/halo.py), which block-partitions every level's rows.
 
     Fast-form (block-dense / slab) operators are dropped: their window
     geometry is single-chip; the sharded path runs the ELL forms whose
@@ -101,7 +105,7 @@ def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
 
     nlev = len(h.levels)
     new_v = [(-(-lvl.op.num_vertices // mult) * mult
-              if li < nlev - 1 else lvl.op.num_vertices)
+              if (li < nlev - 1 or pad_coarse) else lvl.op.num_vertices)
              for li, lvl in enumerate(h.levels)]
     levels = []
     for li, lvl in enumerate(h.levels):
@@ -132,7 +136,16 @@ def pad_solver_levels(h: SolverHierarchy, mult: int) -> SolverHierarchy:
             ut = ut._replace(rows=rows, weights=w, n_fine=vp)
         levels.append(lvl._replace(op=op, u=u, ut=ut,
                                    banded=None, uw=None, utw=None))
-    return h._replace(levels=tuple(levels))
+    chol = h.coarse_chol
+    if pad_coarse and new_v[-1] > h.levels[-1].op.num_vertices:
+        # Padded coarse rows are decoupled identity rows, so the factor
+        # of the padded operator is block-diag(chol, I).
+        vc, vcp = h.levels[-1].op.num_vertices, new_v[-1]
+        ext = jnp.zeros((vcp, vcp), chol.dtype)
+        ext = ext.at[:vc, :vc].set(chol)
+        ext = ext.at[jnp.arange(vc, vcp), jnp.arange(vc, vcp)].set(1.0)
+        chol = ext
+    return h._replace(levels=tuple(levels), coarse_chol=chol)
 
 
 def shard_fast_operator(bop, mesh: Mesh, axis: str = "data"):

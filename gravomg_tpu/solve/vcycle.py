@@ -344,6 +344,18 @@ def attach_slab_operators(h: SolverHierarchy,
     return h._replace(levels=tuple(levels))
 
 
+def attach_operators(h: SolverHierarchy, dtype=None,
+                     slab_min_rows: int = 4096) -> SolverHierarchy:
+    """The blessed single-chip attach path (docs/DESIGN.md §7): slab
+    forms on levels >= ``slab_min_rows`` rows, uniform block-dense on
+    the rest.  Order matters and is encapsulated here: slab first
+    (claims the large levels), uniform second (fills what is left --
+    it skips populated levels).  Under sharding use
+    ``parallel.halo.halo_shard_solver`` instead."""
+    h = attach_slab_operators(h, dtype=dtype, min_rows=slab_min_rows)
+    return attach_fast_operators(h, dtype=dtype)
+
+
 def cast_fast_operators(h: SolverHierarchy, dtype) -> SolverHierarchy:
     """Cheap copy of a fast-operator hierarchy with the dense window
     matrices cast to ``dtype`` (e.g. bf16 for preconditioner duty;

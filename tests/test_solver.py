@@ -422,3 +422,42 @@ def test_galerkin_rap_2phase_wide_k_grouped(rng):
         np.testing.assert_allclose(np.asarray(two.as_dense()),
                                    np.asarray(full.as_dense()),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_default_chebyshev_contraction_at_most_quarter(rng):
+    """Regression pin for the contraction-sweep defaults (VERDICT r3
+    task 6): with the shipped chebyshev_degree/chebyshev_ratio the
+    stationary V-cycle must contract the residual by at least 4x per
+    cycle (SWEEP_contraction_50k.json: rho=0.135 at degree 4 / ratio 16;
+    the pre-sweep ratio-4 default measured 0.251)."""
+    h, cfg, spd = _sphere_hierarchy(rng, smoother="chebyshev")
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    _, _, _, hist = g.solve_with_history(h.solver, b, cfg)
+    hist = np.asarray(hist)
+    hist = hist[np.isfinite(hist) & (hist > 1e-4)]  # above the f32 floor
+    assert len(hist) >= 3, hist
+    rho = (hist[-1] / hist[0]) ** (1.0 / (len(hist) - 1))
+    assert rho <= 0.25, f"contraction {rho:.3f} > 0.25"
+
+
+def test_mg_solve_default_dispatch(rng):
+    """mg_solve (the default solve) picks f32 MG-PCG below
+    cfg.bf16_threshold and bf16-FCG at/above it, both converging to the
+    1e-8 target with the bf16 path within 1.5x of f32 iterations
+    (VERDICT r3 task 4; the 1M scale evidence lives in the bench
+    artifact, this pins the dispatch contract)."""
+    import dataclasses
+    from gravomg_tpu.solve.vcycle import attach_fast_operators
+    h, cfg, spd = _sphere_hierarchy(rng, smoother="chebyshev")
+    sol = attach_fast_operators(h.solver, block=32, window=64)
+    b = jnp.asarray(rng.normal(size=spd.num_vertices))
+    # Below threshold: identical to mg_pcg.
+    x_small, rel_s, it_s = g.mg_solve(sol, b, cfg)
+    x_ref, rel_ref, it_ref = g.mg_pcg(sol, b, cfg)
+    assert float(rel_s) < cfg.tolerance and int(it_s) == int(it_ref)
+    np.testing.assert_array_equal(np.asarray(x_small), np.asarray(x_ref))
+    # Force the threshold below the mesh size: bf16-FCG path.
+    cfg16 = dataclasses.replace(cfg, bf16_threshold=spd.num_vertices)
+    x16, rel16, it16 = g.mg_solve(sol, b, cfg16)
+    assert float(rel16) < cfg.tolerance
+    assert int(it16) <= max(int(1.5 * int(it_ref)), int(it_ref) + 3)
