@@ -30,28 +30,37 @@ from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel, solve
 from gravomg_tpu.solve.smoothers import ChebyshevParams
 
 
-def refit_hierarchy(h: Hierarchy, new_fine_op: EllOperator,
+def refit_hierarchy(h, new_fine_op: EllOperator,
                     cfg: MultigridConfig) -> SolverHierarchy:
-    """Re-Galerkin an existing geometric hierarchy for a new fine
-    operator (hierarchy reuse: coarsening, parents, U all unchanged)."""
+    """Re-Galerkin an existing hierarchy for a new fine operator
+    (hierarchy reuse: coarsening, parents, U all unchanged).
+
+    ``h`` is a :class:`SolverHierarchy` (preferred -- pass the
+    COMPACTED solver so the RAP chain runs on tight shapes and the
+    multi-GB uncompacted build hierarchy need not stay resident; the
+    round-3 170k config crashed the 16 GB TPU worker keeping both) or
+    a full :class:`Hierarchy` (its solver stack is used).
+    """
+    hs = h.solver if isinstance(h, Hierarchy) else h
     ops = [new_fine_op]
-    for ld in h.levels:
+    us = [lvl.u for lvl in hs.levels if lvl.u is not None]
+    for li, u in enumerate(us):
         # The previous coarse operator's degree is only a starting guess:
         # a new fine operator with different sparsity can need wider
         # Galerkin rows, so retry with staged doubling on overflow
         # (mirrors build_hierarchy's loop) instead of silently dropping
         # entries.
-        kc2 = h.solver.levels[len(ops)].op.max_degree
-        coarse_op, ovf = galerkin_rap(ops[-1], ld.u, kc2)
-        while bool(ovf) and kc2 < ld.u.n_coarse:
-            kc2 = min(2 * kc2, ld.u.n_coarse)
-            coarse_op, ovf = galerkin_rap(ops[-1], ld.u, kc2)
+        kc2 = hs.levels[li + 1].op.max_degree
+        coarse_op, ovf = galerkin_rap(ops[-1], u, kc2)
+        while bool(ovf) and kc2 < u.n_coarse:
+            kc2 = min(2 * kc2, u.n_coarse)
+            coarse_op, ovf = galerkin_rap(ops[-1], u, kc2)
         ops.append(coarse_op)
     levels = []
     for i, o in enumerate(ops):
-        u = h.levels[i].u if i < len(h.levels) else None
+        u = us[i] if i < len(us) else None
         # U (hence U^T) is unchanged by a refit; reuse the gather tables.
-        ut = h.solver.levels[i].ut if i < len(h.solver.levels) else None
+        ut = hs.levels[i].ut if i < len(hs.levels) else None
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
                 if cfg.smoother == "chebyshev" else None)
         levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut))
@@ -59,10 +68,13 @@ def refit_hierarchy(h: Hierarchy, new_fine_op: EllOperator,
                            coarse_chol=factor_coarse(ops[-1]))
 
 
-def heat_geodesics(graph: Graph, h: Hierarchy, source: int,
+def heat_geodesics(graph: Graph, h, source: int,
                    t_factor: float = 1.0,
                    cfg: MultigridConfig = MultigridConfig()) -> jax.Array:
-    """Approximate geodesic distance from ``source`` to all vertices."""
+    """Approximate geodesic distance from ``source`` to all vertices.
+
+    ``h``: a SolverHierarchy (pass the compacted solver) or a full
+    Hierarchy -- see :func:`refit_hierarchy`."""
     lap, mass = graph_laplacian(graph, "invdist")
     mean_edge = jnp.sum(jnp.where(graph.mask, graph.distances, 0.0)) \
         / jnp.sum(graph.mask)

@@ -105,7 +105,9 @@ def build_halo_ell(cols: np.ndarray, vals: np.ndarray,
     """
     cols = np.asarray(cols)
     vals = np.asarray(vals)
-    valid = np.asarray(valid)
+    # Zero-weight entries (pad slots of U rows, decoupled pad rows)
+    # contribute nothing -- keep them out of the exchange plan.
+    valid = np.asarray(valid) & (vals != 0)
     r, k = cols.shape
     if r % nd or n_src % nd:
         raise ValueError(f"rows {r} / n_src {n_src} not divisible by {nd}")
@@ -175,31 +177,36 @@ def _mv_body(axis: str, cols, vals, diag, send_idx, x):
     """Per-device matvec body (inside shard_map).
 
     cols/vals: (vd, K); diag: (vd,) or (0,); send_idx: (1, nd, S);
-    x: (vs,).  Exchanges only the static halo segments.
+    x: (vs,) or (vs, D).  Exchanges only the static halo segments.
     """
     send = send_idx[0]                          # (nd, S)
-    buf = x[send]                               # (nd, S)
+    buf = x[send]                               # (nd, S[, D])
     recv = jax.lax.all_to_all(buf, axis, 0, 0, tiled=True)
-    xx = jnp.concatenate([x, recv.reshape(-1)])
-    y = jnp.sum(vals * xx[cols], axis=1)
-    if diag.shape[0]:
-        y = y + diag * x
-    return y
+    if x.ndim == 1:
+        xx = jnp.concatenate([x, recv.reshape(-1)])
+        y = jnp.sum(vals * xx[cols], axis=1)
+        return y + diag * x if diag.shape[0] else y
+    xx = jnp.concatenate([x, recv.reshape(-1, x.shape[1])])
+    y = jnp.einsum("vk,vkd->vd", vals, xx[cols])
+    return y + diag[:, None] * x if diag.shape[0] else y
 
 
 @functools.lru_cache(maxsize=64)
-def _mv_fn(mesh: Mesh, axis: str):
+def _mv_fn(mesh: Mesh, axis: str, ndim: int):
+    xs = P(axis) if ndim == 1 else P(axis, None)
     spec = (P(axis, None), P(axis, None), P(axis), P(axis, None, None),
-            P(axis))
+            xs)
     return shard_map(functools.partial(_mv_body, axis), mesh=mesh,
-                     in_specs=spec, out_specs=P(axis))
+                     in_specs=spec, out_specs=xs)
 
 
 def halo_matvec(op: HaloOperator, x: jax.Array, mesh: Mesh,
                 axis: str) -> jax.Array:
-    """y = A x with halo exchange; x is the (n_src,) sharded source."""
+    """y = A x with halo exchange; x is the sharded (n_src,) source or
+    an (n_src, D) multi-RHS block."""
     diag = op.diag if op.diag is not None else jnp.zeros((0,), x.dtype)
-    return _mv_fn(mesh, axis)(op.cols, op.vals, diag, op.send_idx, x)
+    return _mv_fn(mesh, axis, x.ndim)(op.cols, op.vals, diag,
+                                      op.send_idx, x)
 
 
 # ---------------------------------------------------------------------------

@@ -80,7 +80,15 @@ def timed_call(fn, *args):
     return time.perf_counter() - t0, out
 
 
-def pipeline(pts, k, cfg):
+def pipeline(pts, k, cfg, attach=True, keep_h=False, use_pallas=None):
+    """Build graph -> operator -> hierarchy -> compacted fast solver.
+
+    HBM hygiene (the single 16 GB worker dies if configs pin unused
+    structures): the uncompacted build hierarchy is dropped unless
+    ``keep_h`` (its padded per-level arrays pin GBs at 100k+; only the
+    hierarchy-reuse config needs it), and fast-form attachment is
+    skipped for configs that never run the single-RHS hot path.
+    """
     pts = pts[morton_order(pts)].astype(np.float32)
     graph, short = grid_knn_graph_nosync(pts, k, margin=2.4)
     # alpha="auto": a fixed screening shift falls below f32 resolution
@@ -121,8 +129,15 @@ def pipeline(pts, k, cfg):
     # Same operator stack as the headline bench: bucketed slab kernels
     # on the large levels, uniform block-dense on the rest.
     sol = compact_solver(h.solver, diags)
-    sol = g.attach_fast_operators(g.attach_slab_operators(sol))
-    return graph, spd, h, sol, t_build, [int(d.n_real) for d in diags]
+    if attach:
+        sol = g.attach_fast_operators(
+            g.attach_slab_operators(sol, use_pallas=use_pallas))
+    levels = [int(d.n_real) for d in diags]
+    if not keep_h:
+        h = None
+        import gc
+        gc.collect()
+    return graph, spd, h, sol, t_build, levels
 
 
 def c1_sphere5k():
@@ -166,9 +181,15 @@ def c2_mesh35k():
 def c3_heat170k():
     pts = torus_points(sz(170_000), seed=3)
     cfg = g.MultigridConfig(coarse_threshold=1000, smoother="chebyshev")
-    graph, spd, h, sol, t_build, levels = pipeline(pts, 16, cfg)
+    # attach=False: the heat app refits its own operators on the ELL
+    # forms; slab/fast conversions would only pin HBM here.  The refit
+    # runs on the COMPACTED solver -- keeping the uncompacted build
+    # hierarchy alive at 170k was the likeliest cause of the round-3
+    # worker crash (several GB of padded per-level arrays).
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 16, cfg,
+                                                   attach=False)
     from gravomg_tpu.apps.heat import heat_geodesics
-    t, phi = timed_call(lambda: heat_geodesics(graph, h, source=0,
+    t, phi = timed_call(lambda: heat_geodesics(graph, sol, source=0,
                                                cfg=cfg))
     finite = bool(jnp.all(jnp.isfinite(phi)))
     emit({"config": "c3_heat170k", "n": pts.shape[0], "levels": levels,
@@ -180,7 +201,12 @@ def c5_batch64():
     pts = torus_points(sz(20_000), seed=4)
     cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev")
     rng = np.random.default_rng(2)
-    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
+    # use_pallas=False: this config vmaps 1-D V-cycles, putting the
+    # slab kernels under a batch dimension; the XLA slab form is
+    # batch-safe while a vmapped Mosaic kernel is the prime suspect
+    # for the round-3 worker kernel fault in this config.
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg,
+                                                   use_pallas=False)
     bs = jnp.asarray(rng.normal(size=(64, pts.shape[0])), jnp.float32)
 
     @jax.jit
@@ -285,7 +311,10 @@ def c6_spectral():
     k = 12
     pts = torus_points(n, seed=6)
     cfg = g.MultigridConfig(coarse_threshold=800, smoother="chebyshev")
-    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
+    # attach=False: LOBPCG preconditions the whole (V, 3k) block, which
+    # takes the multi-RHS ELL path; fast single-RHS forms never run.
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg,
+                                                   attach=False)
     t0 = time.perf_counter()
     lams, vecs, res = laplace_eigs(graph, k=k, cfg=cfg, h=sol, iters=40,
                                    tol=1e-5)

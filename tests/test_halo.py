@@ -139,3 +139,17 @@ def test_build_halo_ell_rejects_misaligned():
     vals = np.ones((10, 2), np.float32)
     with pytest.raises(ValueError):
         build_halo_ell(cols, vals, np.ones_like(cols, bool), 16, 8)
+
+
+def test_halo_matvec_multi_rhs(setup):
+    """The halo exchange also carries (V, D) blocks (the spectral /
+    batched-RHS pattern): matches the unsharded multi-RHS SpMV."""
+    hs, hp, hh, mesh, b, cfg = setup
+    lvl, hl = hp.levels[0], hh.levels[0]
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(lvl.op.num_vertices, 3)),
+                    jnp.float32)
+    want = spmv(lvl.op, x)
+    got = halo_matvec(hl.op, x, mesh, "data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
