@@ -271,6 +271,11 @@ _WARM_BUILD_SCRIPT = _COMMON + r"""
 n, out = int(sys.argv[1]), sys.argv[-1]
 cfg, graph, spd, h, diags, short = build_pipeline(n)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+# Free the first build BEFORE the second: a tuple rebind drops the old
+# hierarchy only after the new build returns, so both would be resident
+# together -- 2x HBM, ResourceExhausted at 1M (measured r4).
+h = diags = None
+gc.collect()
 t0 = time.perf_counter()
 cfg, graph, spd, h, diags, short = build_pipeline(n)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
@@ -291,6 +296,10 @@ n, reps, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[-1]
 t0 = time.perf_counter()
 cfg, graph, spd, h, diags, short = build_pipeline(n)
 for _ in range(reps):
+    # Free the previous hierarchy BEFORE rebuilding: a tuple rebind
+    # keeps it alive through the new build (2x HBM, OOM at 1M).
+    h = diags = None
+    gc.collect()
     h, diags = build_hierarchy_device(graph, spd, cfg)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 json.dump({"t_total": time.perf_counter() - t0, "reps": reps},
