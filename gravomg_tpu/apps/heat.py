@@ -26,7 +26,7 @@ from gravomg_tpu.geometry.laplacian import graph_laplacian
 from gravomg_tpu.hierarchy import Hierarchy
 from gravomg_tpu.solve.rap import galerkin_rap
 from gravomg_tpu.solve.coarse import factor_coarse
-from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel, solve
+from gravomg_tpu.solve.vcycle import SolverHierarchy, SolverLevel
 from gravomg_tpu.solve.smoothers import ChebyshevParams
 
 
@@ -59,11 +59,16 @@ def refit_hierarchy(h, new_fine_op: EllOperator,
     levels = []
     for i, o in enumerate(ops):
         u = us[i] if i < len(us) else None
-        # U (hence U^T) is unchanged by a refit; reuse the gather tables.
+        # U (hence U^T) is unchanged by a refit; reuse the gather tables
+        # AND their fast (block-dense/slab) forms -- only the operator
+        # values changed, so `banded` is dropped but uw/utw stay valid.
         ut = hs.levels[i].ut if i < len(hs.levels) else None
+        uw = hs.levels[i].uw if i < len(hs.levels) else None
+        utw = hs.levels[i].utw if i < len(hs.levels) else None
         cheb = (ChebyshevParams.from_operator(o, cfg.chebyshev_ratio)
                 if cfg.smoother == "chebyshev" else None)
-        levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut))
+        levels.append(SolverLevel(op=o, u=u, cheb=cheb, ut=ut,
+                                  uw=uw, utw=utw))
     return SolverHierarchy(levels=tuple(levels),
                            coarse_chol=factor_coarse(ops[-1]))
 
@@ -86,7 +91,13 @@ def heat_geodesics(graph: Graph, h, source: int,
     sh = refit_hierarchy(h, heat_op, cfg)
     delta = jnp.zeros(graph.num_vertices, graph.points.dtype)
     delta = delta.at[source].set(1.0)
-    u, _, _ = solve(sh, mass * delta, cfg)
+    # MG-PCG, not the stationary solve: f32 stationary cycles stall at
+    # ~4e-5 relative residual, so a 1e-8 tolerance exhausts max_cycles
+    # inside ONE while_loop launch -- minutes of plain-ELL V-cycles that
+    # the device watchdog kills (the round-3/4 c3 170k worker crash,
+    # attributed by scripts/repro_c3.py).  PCG exits in ~10 iterations.
+    from gravomg_tpu.solve.cg import mg_pcg
+    u, _, _ = mg_pcg(sh, mass * delta, cfg)
 
     # Step 2: normalized-gradient divergence and Poisson solve.
     mask = graph.mask
@@ -96,11 +107,17 @@ def heat_geodesics(graph: Graph, h, source: int,
     xdir = -jnp.sign(grad)                            # unit edge field
     w = jnp.where(mask, 1.0 / jnp.maximum(d, 1e-8), 0.0)
     div = jnp.sum(w * xdir, axis=1)
-    # Shifted SPD Poisson solve (L is singular on constants).
-    eps = 1e-6
+    # Shifted SPD Poisson solve (L is singular on constants).  The
+    # shift uses the same f32-representability floor as
+    # screened_poisson_operator(alpha="auto"): a FIXED eps*mass falls
+    # below f32 resolution of the ~1/h invdist diagonal as the mesh
+    # densifies (measured: 1e-6*mass at 170k -> indefinite RAP chain,
+    # PCG NaN -- scripts/repro_c3.py), while 1e-4 of the mean diagonal
+    # stays ~1e2 above f32 RAP noise at every level.
+    eps = 1e-4 * jnp.mean(lap.diag) / jnp.mean(mass)
     pois_op = lap._replace(diag=lap.diag + eps * mass)
     ph = refit_hierarchy(h, pois_op, cfg)
-    phi, _, _ = solve(ph, div - jnp.mean(div), cfg)
+    phi, _, _ = mg_pcg(ph, div - jnp.mean(div), cfg)
     phi = phi[source] - phi          # orient increasing away from source
     # Calibrate to unit speed: rescale so the mean |edge gradient| is 1
     # (the graph Laplacian's weighting skews the raw scale).
