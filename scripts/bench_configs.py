@@ -201,12 +201,11 @@ def c5_batch64():
     pts = torus_points(sz(20_000), seed=4)
     cfg = g.MultigridConfig(coarse_threshold=600, smoother="chebyshev")
     rng = np.random.default_rng(2)
-    # use_pallas=False: this config vmaps 1-D V-cycles, putting the
-    # slab kernels under a batch dimension; the XLA slab form is
-    # batch-safe while a vmapped Mosaic kernel is the prime suspect
-    # for the round-3 worker kernel fault in this config.
-    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg,
-                                                   use_pallas=False)
+    # Same operator stack as the headline bench, incl. Pallas slab
+    # kernels under vmap -- verified safe by scripts/repro_vmap_pallas.py
+    # (all stages ok; the round-3 'c5 crash' was collateral of c3's
+    # watchdog death earlier in the same process).
+    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg)
     bs = jnp.asarray(rng.normal(size=(64, pts.shape[0])), jnp.float32)
 
     @jax.jit
