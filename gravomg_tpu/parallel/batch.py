@@ -40,6 +40,47 @@ def stack_solvers(hs: Sequence[SolverHierarchy]) -> SolverHierarchy:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *hs)
 
 
+def attach_collection(hs: Sequence[SolverHierarchy],
+                      block: int = 256, window: int = 128,
+                      dtype=None) -> List[SolverHierarchy]:
+    """Attach gather-free block-dense fast forms with IDENTICAL shapes
+    across a same-bucket mesh collection, so the results stack.
+
+    ``attach_fast_operators`` on its own picks per-operator window
+    counts and escape capacities by data-dependent retry, and trims the
+    escape chute to its fill -- three shape degrees of freedom that
+    differ across meshes and break :func:`stackable`.  This wrapper
+    converts every mesh with trimming off and a shared (nw, cap)
+    geometry floor, escalating the floor to the max any mesh needed and
+    re-converting until all agree (a fixpoint; one extra pass in
+    practice).  Slab forms are deliberately NOT used: their bucket
+    partition is data-dependent and cannot be shape-shared.
+
+    Without this, a batched V-cycle over a collection runs the
+    gather-based ELL path, which vmap lowers to batched gathers --
+    the exact ~7 ns/index regime the fast forms exist to avoid.
+    """
+    from gravomg_tpu.solve.vcycle import attach_fast_operators
+
+    geo: dict = {}
+    for _ in range(8):
+        outs, grown = [], False
+        for h in hs:
+            used: dict = {}
+            outs.append(attach_fast_operators(
+                h, block=block, window=window, dtype=dtype,
+                trim=False, geometry=geo, used_geometry=used))
+            for k, v in used.items():
+                cur = geo.get(k, (0, 0))
+                nv = (max(v[0], cur[0]), max(v[1], cur[1]))
+                if nv != cur:
+                    geo[k] = nv
+                    grown = grown or (cur != (0, 0))
+        if not grown:
+            return outs
+    raise RuntimeError("attach_collection geometry did not converge")
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def batched_v_cycle(hb: SolverHierarchy, xs: jax.Array, bs: jax.Array,
                     cfg: MultigridConfig) -> jax.Array:

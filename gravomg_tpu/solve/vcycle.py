@@ -183,7 +183,10 @@ def attach_restrictions(h: SolverHierarchy,
 def attach_fast_operators(h: SolverHierarchy,
                           block: int = 256, window: int = 128,
                           dtype=None,
-                          escape_cap: Optional[int] = None
+                          escape_cap: Optional[int] = None,
+                          trim: bool = True,
+                          geometry: Optional[dict] = None,
+                          used_geometry: Optional[dict] = None
                           ) -> SolverHierarchy:
     """Populate gather-free block-dense operator forms on every level.
 
@@ -197,24 +200,37 @@ def attach_fast_operators(h: SolverHierarchy,
     dense window matrices (e.g. bf16 for the V-cycle preconditioner);
     default keeps the operator dtype (exact: same products, different
     add order).
+
+    Collection hooks (parallel/batch.py::attach_collection): ``trim``
+    False keeps the full escape-chute capacity so shapes are a pure
+    function of the (nw, cap) geometry; ``geometry`` maps
+    ``(level, slot)`` -> (nw, cap) floors for the retry loop (slots:
+    "a", "u", "ut"); ``used_geometry`` (a dict) receives the final
+    (nw, cap) each conversion settled on.
     """
     from gravomg_tpu.ops.blockdense import (block_anchors,
                                             blockdense_from_ell,
                                             blockdense_from_operator)
     from gravomg_tpu.types import INVALID_INDEX
 
-    def convert(build, *args, start_nw, start_cap, **kw):
+    def convert(build, *args, start_nw, start_cap, key, **kw):
         from gravomg_tpu.ops.blockdense import trim_escape
-        cur_nw, cap = start_nw, start_cap
+        cur_nw, cap = (geometry or {}).get(key, (start_nw, start_cap))
+        cur_nw, cap = max(cur_nw, start_nw), max(cap, start_cap)
         while True:
             bop, ovf = build(*args, nw=cur_nw, escape_cap=cap, **kw)
             if not bool(ovf):
                 break
             cur_nw = min(cur_nw + 2, 24)
             cap = cap * 4
-        # Drop empty chute padding: static escape slots cost ~10 ns
-        # each per matvec whether filled or not (host sync, fine here).
-        bop = trim_escape(bop)
+        if used_geometry is not None:
+            used_geometry[key] = (cur_nw, cap)
+        if trim:
+            # Drop empty chute padding: static escape slots cost ~10 ns
+            # each per matvec whether filled or not (host sync, fine
+            # here).  Skipped for collections, where shapes must be a
+            # function of geometry alone.
+            bop = trim_escape(bop)
         if dtype is not None:
             bop = bop._replace(m=bop.m.astype(dtype))
         return bop
@@ -236,6 +252,7 @@ def attach_fast_operators(h: SolverHierarchy,
             new = new._replace(banded=convert(
                 blockdense_from_operator, lvl.op, start_nw=6,
                 start_cap=escape_cap or max(1024, v // 8),
+                key=(li, "a"),
                 block=blk, window=min(window, v), window0=w0))
         if lvl.u is not None:
             u = lvl.u
@@ -251,6 +268,7 @@ def attach_fast_operators(h: SolverHierarchy,
                 jnp.ones_like(u.cols, bool), nc,
                 start_nw=4,
                 start_cap=escape_cap or max(1024, u.n_fine // 16),
+                key=(li, "u"),
                 block=blk, window=min(window, nc), window0=w0,
                 anchors=anch))
         if lvl.ut is not None:
@@ -266,6 +284,7 @@ def attach_fast_operators(h: SolverHierarchy,
                 vmask, rt.n_fine,
                 start_nw=4,
                 start_cap=escape_cap or max(1024, rt.n_coarse),
+                key=(li, "ut"),
                 block=blk_r, window=min(window, rt.n_fine),
                 window0=w0, anchors=anch))
         levels.append(new)

@@ -263,13 +263,18 @@ def c5b_meshes64():
 
     # Stack the dominant same-shape group (plan buckets are geometric,
     # so same-family meshes coincide; report the count honestly).
-    from gravomg_tpu.parallel.batch import stackable
+    from gravomg_tpu.parallel.batch import attach_collection, stackable
     groups = {}
     for s in solvers:
         key = tuple(jax.tree_util.tree_map(lambda a: a.shape,
                                            jax.tree_util.tree_leaves(s)))
         groups.setdefault(key, []).append(s)
     biggest = max(groups.values(), key=len)
+    # Shared-geometry fast forms: without them the vmapped cycle runs
+    # batched ELL gathers (~7 ns/index) and the per-mesh loop pays the
+    # ~50 ms launch pathology per dispatch -- both sides measured 76+
+    # ms/mesh at 5k in the 2026-08-19 sweep.
+    biggest = attach_collection(biggest)
     assert stackable(biggest)
     hb = g.stack_solvers(biggest)
     nb = len(biggest)

@@ -64,3 +64,29 @@ def test_batched_vcycle_sharded_over_devices(rng):
     r1 = jnp.linalg.norm(
         bs - jax.vmap(g.spmv)(hb.levels[0].op, xs), axis=1)
     assert float(jnp.max(r1 / r0)) < 0.5
+
+
+def test_attach_collection_stackable_and_exact(rng):
+    """Shared-geometry fast forms across a collection: shapes agree
+    (stackable), and the batched fast-form V-cycle matches each mesh's
+    plain ELL cycle to f32 roundoff."""
+    from gravomg_tpu.parallel.batch import attach_collection
+
+    hs, cfg = _family(rng, n_meshes=3)
+    shapes = [jax.tree_util.tree_map(lambda x: x.shape, h) for h in hs]
+    hs = [h for h, s in zip(hs, shapes) if s == shapes[0]]
+    assert len(hs) >= 2
+    fast = attach_collection(hs, block=64)
+    assert stackable(fast)
+    for h in fast:
+        assert h.levels[0].banded is not None
+        assert h.levels[0].uw is not None and h.levels[0].utw is not None
+    hb = stack_solvers(fast)
+    v0 = hs[0].levels[0].op.num_vertices
+    bs = jnp.asarray(rng.normal(size=(len(hs), v0)))
+    xs = batched_v_cycle(hb, jnp.zeros_like(bs), bs, cfg)
+    for i, h in enumerate(hs):
+        ref = g.v_cycle(h, jnp.zeros_like(bs[i]), bs[i], cfg)
+        err = float(jnp.max(jnp.abs(xs[i] - ref))
+                    / (1e-30 + float(jnp.max(jnp.abs(ref)))))
+        assert err < 5e-5, f"mesh {i}: batched fast cycle diverges {err}"
