@@ -82,18 +82,44 @@ def rap_cap_for_level(cap: int, rap_cap: int) -> int:
 
 
 def plan_levels(v: int, cfg: MultigridConfig,
-                min_reduction: float = 2.5) -> List[int]:
-    """Conservative static coarse-size caps per level.  Disc sampling
-    with radius cbrt(ratio)*mean_edge reduces by ~4-13x in practice;
-    min_reduction=2.5 leaves generous headroom."""
+                min_reduction: Optional[float] = None) -> List[int]:
+    """Static coarse-size caps per level.
+
+    Disc sampling selects an MIS of the radius-r conflict relation with
+    r = cbrt(reduction_ratio) * mean_edge; the mean kNN edge length is
+    itself ~2-3x the nearest-neighbor spacing (it averages over all K
+    ring radii), so selected points sit >= ~2.5 spacings apart and the
+    surface-area argument gives reductions of ~5-13x (measured: 7.6x on
+    a 1M torus at the default ratio, K=16; similar on spheres/bunnies
+    in the BASELINE configs).  The old flat min_reduction=2.5 planned a
+    423808-row level-1 cap for a 131k-row real level at 1M -- and every
+    level-1+ build stage pays the cap as its padded ROW count, a
+    measured ~3.2x multiplier on the whole coarse tail of the build,
+    plus the cap enters the level-0 Galerkin product as its coarse row
+    count.  4.0 still carries ~1.9x headroom over the measured
+    reduction; a pathological mesh that beats it surfaces as
+    ``cap_overflow`` in :func:`check_diagnostics` (the nonzero
+    compaction is size-clamped, never silent), and callers retry with
+    escalated caps.
+    """
+    if min_reduction is None:
+        min_reduction = 4.0
+    # Divide CAPS by min_reduction each level and estimate REAL rows as
+    # cap / 2 for the stop test: measured per-level reductions are
+    # ~3.9-4.2 on coarse graphs (RESULTS.json levels), so a flat /4 cap
+    # recursion holds the cap/real slack steady at ~2x.  (The earlier
+    # cap[i+1] = cap[i] / 5 recursion shrank slack by 0.8x per level
+    # and needed the huge 2.5-planned first cap to stay safe.)
     caps = []
-    cur = v
-    while cur > cfg.coarse_threshold and len(caps) < cfg.max_levels - 1:
-        nxt = size_bucket(max(int(cur / min_reduction), 8))
-        if nxt >= cur:
+    cap = v      # row bound of the current level (exact for level 0)
+    est = v      # estimated REAL rows of the current level
+    while est > cfg.coarse_threshold and len(caps) < cfg.max_levels - 1:
+        nxt = size_bucket(max(int(cap / min_reduction), 8))
+        if nxt >= cap:
             break
         caps.append(nxt)
-        cur = int(nxt / 2)   # plan with a typical (not worst-case) ratio
+        cap = nxt
+        est = cap // 2
     return caps
 
 

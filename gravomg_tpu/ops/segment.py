@@ -65,10 +65,18 @@ def build_ell_rows(
     # Invalid entries sort to the end (and to an out-of-range row bucket).
     srows = jnp.where(valid, rows, num_rows).astype(jnp.int32)
     scols = jnp.where(valid, cols, INVALID_INDEX).astype(jnp.int32)
-    order = lexsort_pairs(srows, scols)
-    srows = srows[order]
-    scols = scols[order]
-    svalid = valid[order]
+    # ONE variadic lexicographic sort carrying the payloads along:
+    # jnp.lexsort runs two stable sort passes and every payload then
+    # needs an order-gather (~7 ns per element each, PROGRESS.md cost
+    # model) -- at the Galerkin RAP's 72M-element stream that was ~4
+    # extra full-stream passes.
+    operands = [srows, scols, valid.astype(jnp.int8)]
+    if values is not None:
+        operands.append(values)
+    sorted_ops = jax.lax.sort(tuple(operands), dimension=0, num_keys=2,
+                              is_stable=True)
+    srows, scols = sorted_ops[0], sorted_ops[1]
+    svalid = sorted_ops[2].astype(bool)
 
     prev_rows = jnp.concatenate([jnp.full((1,), -1, srows.dtype), srows[:-1]])
     prev_cols = jnp.concatenate([jnp.full((1,), -1, scols.dtype), scols[:-1]])
@@ -90,7 +98,7 @@ def build_ell_rows(
 
     out_values = None
     if values is not None:
-        svals = values[order]
+        svals = sorted_ops[3]
         buf_init = jnp.inf if combine == "min" else 0.0
         buf = jnp.full((num_rows * max_cols + 1,), buf_init, values.dtype)
         if combine == "add":
@@ -134,10 +142,10 @@ def group_ordered(
     """
     srows = jnp.where(valid, rows, num_rows).astype(jnp.int32)
     spay = jnp.where(valid, payload, INVALID_INDEX).astype(jnp.int32)
-    order = lexsort_pairs(srows, spay)
-    srows = srows[order]
-    spay = spay[order]
-    svalid = valid[order]
+    srows, spay, sv8 = jax.lax.sort(
+        (srows, spay, valid.astype(jnp.int8)), dimension=0, num_keys=2,
+        is_stable=True)
+    svalid = sv8.astype(bool)
 
     prev_rows = jnp.concatenate([jnp.full((1,), -1, srows.dtype), srows[:-1]])
     row_change = srows != prev_rows

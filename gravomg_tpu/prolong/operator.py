@@ -247,14 +247,228 @@ def _prolongation_rows(fine_points, parents, coarse_points, coarse_nbr,
     return jax.vmap(per_point)(fine_points, parents)
 
 
+_ID_OFFSET = jnp.int32(2 ** 23)   # bitcast int->f32 stays a NORMAL float
+
+
+def _affine_tables(coarse_points: jax.Array, coarse_nbr: jax.Array,
+                   triangles: TriangleSet):
+    """Level-wide precomputation for the lane-major affine path.
+
+    The barycentric coordinates of the PLANE-PROJECTED point are affine
+    in the unprojected point p: with g0 = n x (v3 - v2),
+    ``b0 * 2A = p_proj . g0 - v2 . g0`` and ``p_proj . g0 == p . g0``
+    because g0 is perpendicular to the plane normal n (p_proj = p - ((p
+    - v1) . n) n).  So each (triangle, rotation) pair reduces to two
+    gradient vectors + offsets; the per-(point, candidate) test
+    ``inTriangle`` (`src/multigrid.cpp:29-35`) becomes two fused
+    multiply-adds on (block, A) lane-major arrays instead of vector
+    algebra on (block, A, 3) temps whose minor dim TPU tiling pads ~40x
+    (PROGRESS.md pathology 5 -- measured 13.5 s for this stage at 1M).
+
+    Returns:
+      packed_rot: (3T, 16) f32 rows ``[g0 (3), c0, g1 (3), c1, rotated
+        vertex ids bitcast (3), pad (5)]`` indexed by 3 * tid + rot.
+      enc:        (C, A) int32 ``3 * assoc + assoc_rot`` (INVALID pad).
+      nbr_planes: (C, 3 * Kc) neighbor coordinates, plane-major
+        ``[x (Kc) | y (Kc) | z (Kc)]`` so per-coordinate slices of a row
+        gather are lane-contiguous (block, Kc) arrays.
+    """
+    tv = triangles.vertices
+    tn = triangles.normals.astype(coarse_points.dtype)
+    tsafe = jnp.where(tv == INVALID_INDEX, 0, tv)
+    p = [coarse_points[tsafe[:, k]] for k in range(3)]       # 3 x (T, 3)
+    # Signed double area against n -- cyclically invariant, computed in
+    # the rot-0 frame exactly as `src/multigrid.cpp:32`.
+    area2 = jnp.sum(jnp.cross(p[1] - p[0], p[2] - p[0]) * tn, axis=1)
+    rows = []
+    for r in range(3):
+        v2, v3 = p[(r + 1) % 3], p[(r + 2) % 3]
+        g0 = jnp.cross(tn, v3 - v2) / area2[:, None]
+        c0 = -jnp.sum(g0 * v2, axis=1, keepdims=True)
+        g1 = jnp.cross(tn, p[r] - v3) / area2[:, None]
+        c1 = -jnp.sum(g1 * v3, axis=1, keepdims=True)
+        ids = jnp.stack([tsafe[:, r], tsafe[:, (r + 1) % 3],
+                         tsafe[:, (r + 2) % 3]], axis=1)
+        idf = jax.lax.bitcast_convert_type(
+            ids.astype(jnp.int32) + _ID_OFFSET, jnp.float32)
+        rows.append(jnp.concatenate(
+            [g0, c0, g1, c1, idf.astype(coarse_points.dtype),
+             jnp.zeros((tv.shape[0], 5), coarse_points.dtype)], axis=1))
+    packed_rot = jnp.stack(rows, axis=1).reshape(-1, 16)      # (3T, 16)
+
+    rot = (triangles.assoc_rot if triangles.assoc_rot is not None
+           else jnp.zeros_like(triangles.assoc))
+    enc = jnp.where(triangles.assoc == INVALID_INDEX, INVALID_INDEX,
+                    3 * triangles.assoc + rot)
+
+    kc = coarse_nbr.shape[1]
+    npall = coarse_points[safe_gather_index(coarse_nbr)]      # (C, Kc, 3)
+    nbr_planes = jnp.swapaxes(npall, 1, 2).reshape(-1, 3 * kc)
+    return packed_rot, enc, nbr_planes
+
+
+def _prolongation_block_affine(fp, par, coarse_points, coarse_nbr,
+                               packed_rot, enc, nbr_planes, scheme: int):
+    """Lane-major affine kernel over one block of fine points.
+
+    Same five-case semantics as :func:`_prolongation_rows` (reference
+    `src/multigrid.cpp:265-498`); barycentric signs come from the
+    algebraically identical affine form, so f32 roundoff near b == 0
+    can differ from the sequential formula by ~1 ulp -- within the f32
+    path's documented 2e-6..6e-6 envelope (exact-compat runs use the
+    non-affine path at f64).  All per-candidate temps are (B, A) with
+    the candidate axis minor.
+    """
+    dt = fp.dtype
+    kc = coarse_nbr.shape[1]
+    px, py, pz = fp[:, 0], fp[:, 1], fp[:, 2]
+    pc = coarse_points[par]                                   # (B, 3)
+    pcx, pcy, pcz = pc[:, 0], pc[:, 1], pc[:, 2]
+
+    cand = enc[par]                                           # (B, A)
+    tvalid = cand != INVALID_INDEX
+    prow = packed_rot[jnp.where(tvalid, cand, 0)]             # (B, A, 16)
+    pt = jnp.swapaxes(prow, 1, 2)                             # (B, 16, A)
+    lane = lambda k: pt[:, k, :]                              # (B, A)
+    b0 = (lane(0) * px[:, None] + lane(1) * py[:, None]
+          + lane(2) * pz[:, None] + lane(3))
+    b1 = (lane(4) * px[:, None] + lane(5) * py[:, None]
+          + lane(6) * pz[:, None] + lane(7))
+    b2 = 1.0 - b0 - b1
+    rid = [jax.lax.bitcast_convert_type(
+        lane(8 + k).astype(jnp.float32), jnp.int32) - _ID_OFFSET
+        for k in range(3)]
+
+    hit = tvalid & (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+    has_hit = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)[:, None]                  # (B, 1)
+    take1 = lambda a: jnp.take_along_axis(a, first, axis=1)[:, 0]
+    tri_cols = jnp.stack([take1(r) for r in rid], axis=1)     # (B, 3)
+    if scheme == BARYCENTRIC:
+        tri_wts = jnp.stack([take1(b0), take1(b1), take1(b2)], axis=1)
+    elif scheme == UNIFORM:
+        tri_wts = jnp.full((fp.shape[0], 3), 1.0 / 3.0, dt)
+    else:
+        td = jnp.linalg.norm(
+            fp[:, None, :] - coarse_points[tri_cols], axis=-1)
+        tw = 1.0 / jnp.maximum(td, 1e-8)
+        tri_wts = tw / jnp.sum(tw, axis=1, keepdims=True)
+
+    # Neighborhood tables (one row gather each).
+    nbr_row = coarse_nbr[par]                                 # (B, Kc)
+    nmask = nbr_row != INVALID_INDEX
+    nbrs = jnp.where(nmask, nbr_row, 0)
+    deg = jnp.sum(nmask, axis=1)
+    planes = nbr_planes[par]                                  # (B, 3Kc)
+    npx = planes[:, 0 * kc:1 * kc]
+    npy = planes[:, 1 * kc:2 * kc]
+    npz = planes[:, 2 * kc:3 * kc]
+
+    def two_point(w_far, other_idx, other_d):
+        """Weights over (parent, other) per scheme -- vectorized
+        `_two_point_weights`; distances recomputed as the reference does
+        (`src/multigrid.cpp:63-75`)."""
+        if scheme == BARYCENTRIC:
+            return 1.0 - w_far, w_far
+        if scheme == UNIFORM:
+            h = jnp.full_like(w_far, 0.5)
+            return h, h
+        d_par = jnp.sqrt((px - pcx) ** 2 + (py - pcy) ** 2
+                         + (pz - pcz) ** 2)
+        wp = 1.0 / jnp.maximum(d_par, 1e-8)
+        wo = 1.0 / jnp.maximum(other_d, 1e-8)
+        s = wp + wo
+        return wp / s, wo / s
+
+    def seg_weight(ex, ey, ez):
+        """Clamped projection of p - pc onto the segment pc -> e
+        (`src/multigrid.cpp:309-315`): normalize by the true norm,
+        divide by the clamped length."""
+        sx, sy, sz = ex - pcx, ey - pcy, ez - pcz
+        sl = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        slc = jnp.maximum(sl, 1e-8)
+        dot = ((px - pcx) * (sx / sl) + (py - pcy) * (sy / sl)
+               + (pz - pcz) * (sz / sl))
+        return jnp.clip(dot / slc, 0.0, 1.0)
+
+    # ---- case 2: single neighbor ----
+    nb0 = nbrs[:, 0]
+    d_nb0 = jnp.sqrt((px - npx[:, 0]) ** 2 + (py - npy[:, 0]) ** 2
+                     + (pz - npz[:, 0]) ** 2)
+    w_nb = seg_weight(npx[:, 0], npy[:, 0], npz[:, 0])
+    s_w0, s_w1 = two_point(w_nb, nb0, d_nb0)
+    single_cols = jnp.stack([par, nb0, par], axis=1)
+    single_wts = jnp.stack([s_w0, s_w1, jnp.zeros_like(s_w0)], axis=1)
+
+    # ---- fallback A: surviving edge ----
+    kill1 = (b0 < 0.0) | (b1 < 0.0)
+    kill2 = (b0 < 0.0) | (b2 < 0.0)
+    in1 = tvalid[:, None, :] & (rid[1][:, None, :] == nbrs[:, :, None])
+    in2 = tvalid[:, None, :] & (rid[2][:, None, :] == nbrs[:, :, None])
+    present = jnp.any(in1 | in2, axis=2)
+    killed = jnp.any((in1 & kill1[:, None, :]) | (in2 & kill2[:, None, :]),
+                     axis=2)
+    eligible = nmask & present & ~killed
+    has_edge = jnp.any(eligible, axis=1)
+    e_slot = jnp.argmax(eligible, axis=1)[:, None]
+    tke = lambda a: jnp.take_along_axis(a, e_slot, axis=1)[:, 0]
+    e_idx = tke(nbrs)
+    ex, ey, ez = tke(npx), tke(npy), tke(npz)
+    d_e = jnp.sqrt((px - ex) ** 2 + (py - ey) ** 2 + (pz - ez) ** 2)
+    w_e = seg_weight(ex, ey, ez)
+    e_w0, e_w1 = two_point(w_e, e_idx, d_e)
+    edge_cols = jnp.stack([par, e_idx, par], axis=1)
+    edge_wts = jnp.stack([e_w0, e_w1, jnp.zeros_like(e_w0)], axis=1)
+
+    # ---- fallback B: three nearest (always inverse-distance) ----
+    nd = jnp.sqrt((px[:, None] - npx) ** 2 + (py[:, None] - npy) ** 2
+                  + (pz[:, None] - npz) ** 2)
+    nd = jnp.where(nmask, nd, jnp.inf)
+    s1 = jnp.argmin(nd, axis=1)[:, None]    # first min = stable tie-break
+    d1 = jnp.take_along_axis(nd, s1, axis=1)[:, 0]
+    nd2 = jnp.where(jnp.arange(kc)[None, :] == s1, jnp.inf, nd)
+    s2 = jnp.argmin(nd2, axis=1)[:, None]
+    d2 = jnp.take_along_axis(nd2, s2, axis=1)[:, 0]
+    n1 = jnp.take_along_axis(nbrs, s1, axis=1)[:, 0]
+    n2 = jnp.take_along_axis(nbrs, s2, axis=1)[:, 0]
+    d_par = jnp.sqrt((px - pcx) ** 2 + (py - pcy) ** 2 + (pz - pcz) ** 2)
+    fw = jnp.stack([1.0 / jnp.maximum(d_par, 1e-8),
+                    1.0 / jnp.maximum(d1, 1e-8),
+                    1.0 / jnp.maximum(d2, 1e-8)], axis=1)
+    fb_wts = fw / jnp.sum(fw, axis=1, keepdims=True)
+    fb_cols = jnp.stack([par, n1, n2], axis=1)
+
+    # ---- combine ----
+    gen_cols = jnp.where(has_hit[:, None], tri_cols,
+                         jnp.where(has_edge[:, None], edge_cols, fb_cols))
+    gen_wts = jnp.where(has_hit[:, None], tri_wts,
+                        jnp.where(has_edge[:, None], edge_wts, fb_wts))
+    self_cols = jnp.stack([par, par, par], axis=1)
+    one_wts = jnp.concatenate(
+        [jnp.ones((fp.shape[0], 1), dt), jnp.zeros((fp.shape[0], 2), dt)],
+        axis=1)
+    cols = jnp.where((deg == 0)[:, None], self_cols,
+                     jnp.where((deg == 1)[:, None], single_cols,
+                               gen_cols)).astype(jnp.int32)
+    wts = jnp.where((deg == 0)[:, None], one_wts,
+                    jnp.where((deg == 1)[:, None], single_wts, gen_wts))
+    flags = jnp.stack([
+        (deg >= 2) & has_hit,
+        (deg >= 2) & ~has_hit & has_edge,
+        (deg >= 2) & ~has_hit & ~has_edge,
+    ], axis=1)
+    return cols, wts, flags
+
+
 @functools.partial(jax.jit, static_argnames=("scheme", "block",
-                                             "precise_weights"))
+                                             "precise_weights", "affine"))
 def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
                            coarse_points: jax.Array, coarse_nbr: jax.Array,
                            triangles: TriangleSet,
                            scheme: int = BARYCENTRIC,
                            block: int = 16384,
-                           precise_weights: bool = False
+                           precise_weights: bool = False,
+                           affine: str = "auto"
                            ) -> Tuple[Prolongation, jax.Array]:
     """Assemble U (reference `src/multigrid.cpp:265-498`).
 
@@ -271,8 +485,19 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
     Returns (Prolongation, case_counts (3,) int32 = [triangle hits,
     edge fallbacks, point fallbacks]); `case_counts` surfaces the
     reference's never-printed counters (`src/multigrid.cpp:282-284`).
+
+    ``affine`` selects the lane-major affine-barycentric kernel
+    (:func:`_prolongation_block_affine`): "auto" enables it for f32
+    inputs (where it replaces 13.5 s of minor-dim-3 padded VPU work at
+    1M with fused multiply-adds on (block, A) arrays) and keeps the
+    sequential-formula kernel for f64/compat runs, whose 1e-12 oracle
+    bound depends on following the reference's exact float sequence.
+    "on"/"off" force it.
     """
     out_dtype = fine_points.dtype
+    use_affine = (affine == "on"
+                  or (affine == "auto" and out_dtype == jnp.float32
+                      and not precise_weights))
     if precise_weights:
         import jax.dtypes as _dt
         if jnp.zeros((), jnp.float64).dtype != jnp.float64:
@@ -299,10 +524,20 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
     fp = jnp.pad(fine_points, ((0, vpad - vf), (0, 0)))
     pp = jnp.pad(parents, (0, vpad - vf))
 
-    def run_block(args):
-        f, par = args
-        return _prolongation_rows(f, par, coarse_points, coarse_nbr,
-                                  triangles, scheme)
+    if use_affine:
+        packed_rot, enc, nbr_planes = _affine_tables(
+            coarse_points, coarse_nbr, triangles)
+
+        def run_block(args):
+            f, par = args
+            return _prolongation_block_affine(
+                f, par, coarse_points, coarse_nbr, packed_rot, enc,
+                nbr_planes, scheme)
+    else:
+        def run_block(args):
+            f, par = args
+            return _prolongation_rows(f, par, coarse_points, coarse_nbr,
+                                      triangles, scheme)
 
     cols, wts, flags = jax.lax.map(
         run_block, (fp.reshape(-1, block, 3), pp.reshape(-1, block)))

@@ -146,13 +146,23 @@ def _assemble(keys: jax.Array, row_counts: jax.Array, nbr: jax.Array,
         jnp.linalg.norm(cr, axis=1, keepdims=True), 1e-30)
 
     # Association lists: triangle ids grouped per vertex, ascending.
+    # Payload encodes 3*tid + slot-of-this-vertex; a vertex appears at
+    # most once per triangle (v0 < v1 < v2 strict), so ordering by the
+    # encoded payload equals ordering by tid and the decoded ``assoc``
+    # is bit-identical to the plain-tid grouping.  The slot rides along
+    # for free and feeds the affine prolongation path's per-rotation
+    # coefficient gather.
     tid = jnp.arange(max_triangles, dtype=jnp.int32)
     rows = jnp.concatenate([t_v0, t_v1, t_v2])
-    pay = jnp.concatenate([tid, tid, tid])
+    pay = jnp.concatenate([3 * tid, 3 * tid + 1, 3 * tid + 2])
     av = jnp.concatenate([valid_t, valid_t, valid_t])
-    assoc, _, assoc_overflow = group_ordered(rows, pay, av, c, max_assoc)
+    enc, _, assoc_overflow = group_ordered(rows, pay, av, c, max_assoc)
+    aval = enc != INVALID_INDEX
+    assoc = jnp.where(aval, enc // 3, INVALID_INDEX)
+    assoc_rot = jnp.where(aval, enc % 3, 0)
 
-    return (TriangleSet(vertices=vertices, normals=normals, assoc=assoc),
+    return (TriangleSet(vertices=vertices, normals=normals, assoc=assoc,
+                        assoc_rot=assoc_rot),
             overflow | assoc_overflow)
 
 

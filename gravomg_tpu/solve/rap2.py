@@ -233,6 +233,34 @@ def _rap_2phase_full(op: EllOperator, u: Prolongation,
     return out, y_ovf | res.overflow
 
 
+@functools.partial(jax.jit, static_argnames=("nc", "max_degree"))
+def _uty_global(uc, uw, y_cols, y_vals, nc: int, max_degree: int):
+    """Phase 2 over the WHOLE merged-Y stream in one sort-scatter.
+
+    Emits all 3 * y_width candidate (coarse row, coarse col, value)
+    triplets of every fine row and groups them with ONE global
+    build_ell_rows (a single variadic lexicographic sort + scatter).
+    Replaces the per-chunk accumulator lane merge, which re-sorted the
+    full (nc, max_degree + 1) accumulator once per 200k-row chunk --
+    measured 11.0 s PER CHUNK at 1M vertices (55 s of the 60 s RAP)
+    versus 8.1 s for this whole-stream pass pre-cosort.
+    """
+    from gravomg_tpu.solve.rap import _phantom_identity
+
+    res = _rap2_stream(uc, uw, y_cols, y_vals, nc, max_degree)
+    cmask = res.columns != INVALID_INDEX
+    is_diag = cmask & (res.columns
+                       == jnp.arange(nc, dtype=jnp.int32)[:, None])
+    diag = jnp.sum(jnp.where(is_diag, res.values, 0.0), axis=1)
+    off_cols = jnp.where(is_diag, INVALID_INDEX, res.columns)
+    off_vals = jnp.where(is_diag, 0.0, res.values)
+    order = jnp.argsort(off_cols, axis=1, stable=True)
+    off_cols = jnp.take_along_axis(off_cols, order, axis=1)[:, :max_degree]
+    off_vals = jnp.take_along_axis(off_vals, order, axis=1)[:, :max_degree]
+    out = EllOperator(neighbors=off_cols, offdiag=off_vals, diag=diag)
+    return out._replace(diag=_phantom_identity(out)), res.overflow
+
+
 @functools.partial(jax.jit, static_argnames=("max_degree",))
 def _rap2_chunk_merge(acc_cols, acc_vals, ovf, uc, uw, yc, yv,
                       max_degree: int):
@@ -261,23 +289,25 @@ def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
     build_ell_rows scatter.  Same operator as ``galerkin_rap`` up to
     f32 add order; returns (A_c, overflow).
 
-    Above ``chunk_rows`` fine rows, BOTH phases run as a host-level
-    chunk loop over row blocks (phase 1 is per-fine-row independent;
-    each chunk's Y feeds one bounded phase-2 launch whose partial ELL
-    lane-merges into a (nc, max_degree + 1) accumulator -- the same
-    structure as the chunked stream RAP).  Single whole-problem
-    programs at 1M vertices ran the remote compile helper out of
-    memory (SIGKILL) -- first the 48M-element phase-2 sort, then, once
-    that was chunked, the (1M, 3K+3) phase-1 lane merge itself -- and
-    one launch would also brush the device watchdog.  200k-row
-    programs are the largest this pipeline has ever compiled cleanly,
-    so that is the chunk size.
+    Above ``chunk_rows`` fine rows, phase 1 runs as a host-level chunk
+    loop over row blocks (per-fine-row independent; the single
+    whole-problem (1M, 3K+3) lane-merge program ran the remote compile
+    helper out of memory) and the chunk Ys concatenate into one
+    materialized (vpad, y_width) Y -- 192 MB at 1M, cheap.  Phase 2 is
+    then ONE global sort-scatter over the full 3 * y_width * vpad
+    stream (:func:`_uty_global`).  The earlier per-chunk design instead
+    lane-merged each chunk's partial ELL into a (nc, max_degree + 1)
+    accumulator, re-sorting all padded coarse rows once per chunk:
+    measured 11.0 s per chunk at 1M (nc cap 423808, degree 128), 55 s
+    of the 60 s stage, versus ~8 s for the global pass.  The round-3
+    compile-helper SIGKILL attributed to "the 48M-element phase-2
+    sort" was the sort fused inside the whole-build program; as its
+    own jit the 72M-element sort compiles and runs cleanly (measured,
+    scripts/profile_rap1m.py).
     """
     vf = op.num_vertices
     if vf <= chunk_rows:
         return _rap_2phase_full(op, u, max_degree, y_width)
-
-    from gravomg_tpu.solve.rap import _rap_finalize
 
     nc = u.n_coarse
     n_chunks = -(-vf // chunk_rows)
@@ -294,18 +324,19 @@ def galerkin_rap_2phase(op: EllOperator, u: Prolongation,
     ucy_p = pad_rows(u.cols, INVALID_INDEX)  # phase-1 diag term: an
     #                                    all-INVALID row drops cleanly
 
-    acc_cols = jnp.full((nc, max_degree + 1), INVALID_INDEX, jnp.int32)
-    acc_vals = jnp.zeros((nc, max_degree + 1), op.offdiag.dtype)
+    ycs, yvs = [], []
     ovf = jnp.bool_(False)
     for c0 in range(n_chunks):
         s = slice(c0 * chunk_rows, (c0 + 1) * chunk_rows)
         y_cols, y_vals, y_ovf = _au_rows(
             neigh_p[s], offd_p[s], diag_p[s], ucy_p[s], uw_p[s],
             u.cols, u.weights, y_width)
-        acc_cols, acc_vals, ovf = _rap2_chunk_merge(
-            acc_cols, acc_vals, ovf | y_ovf, uc_p[s], uw_p[s],
-            y_cols, y_vals, max_degree)
-    return _rap_finalize(acc_cols, acc_vals, max_degree), ovf
+        ycs.append(y_cols)
+        yvs.append(y_vals)
+        ovf = ovf | y_ovf
+    out, o2 = _uty_global(uc_p, uw_p, jnp.concatenate(ycs),
+                          jnp.concatenate(yvs), nc, max_degree)
+    return out, ovf | o2
 
 
 def galerkin_rap_local(op: EllOperator, u: Prolongation, max_degree: int,

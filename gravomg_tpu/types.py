@@ -227,11 +227,19 @@ class TriangleSet(NamedTuple):
       normals:   (T, 3) float, normalize((p1-p0) x (p2-p0)).
       assoc:     (V, A) int32 triangle ids incident to each vertex,
         ascending; padding = INVALID_INDEX.
+      assoc_rot: (V, A) int32 in {0, 1, 2}, or None: which slot of
+        ``vertices[assoc[v, a]]`` equals v.  The prolongation rotates
+        each candidate triangle so the parent sits in slot 0
+        (`src/multigrid.cpp:360`); carrying the slot here lets the fast
+        path gather precomputed per-rotation coefficients instead of
+        re-deriving the rotation per (fine point, candidate) pair.
+        Zero for padding slots.
     """
 
     vertices: jax.Array
     normals: jax.Array
     assoc: jax.Array
+    assoc_rot: Optional[jax.Array] = None
 
     @property
     def max_triangles(self) -> int:
