@@ -121,11 +121,13 @@ def extract_coarse_edges_local(graph: Graph, parents: jax.Array,
     v, _ = graph.neighbors.shape
     if fine_valid is None:
         fine_valid = jnp.ones((v,), bool)
-    # n_coarse is the PADDED cap (~2.5x the real count in the builder's
-    # level plan), so v/n_coarse underestimates real cell sizes; hub
-    # cells run ~3.5x the mean.  16x headroom covers both factors.
+    # n_coarse is the PADDED cap (~2x the real count in the builder's
+    # steady-slack level plan), so v/n_coarse underestimates real cell
+    # sizes; hub cells run ~3.5x the mean.  12x headroom covers both
+    # factors (2.06 * 3.5 = 7.2 measured at 1M) with ~1.7x margin;
+    # overflow doubles the cap and retries (or flags, sync_retry=False).
     mc = (max_children if max_children > 0
-          else min(max(16, -(-16 * v // max(n_coarse, 1))), v))
+          else min(max(16, -(-12 * v // max(n_coarse, 1))), v))
     if not sync_retry:
         cols, t_ovf, m_ovf = _ece_local(graph, parents, fine_valid,
                                         n_coarse, max_degree, mc)

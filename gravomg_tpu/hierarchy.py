@@ -128,7 +128,7 @@ def coarsen_once(graph: Graph, cfg: MultigridConfig,
         t_max = _round_up(2 * t_max, 64)
         a_max = _round_up(2 * a_max)
 
-    u, counts = construct_prolongation(
+    u, counts, p_ovf = construct_prolongation(
         graph.points, parents, coarse_points, cg.neighbors, triangles,
         scheme=scheme)
     if n_valid_fine < graph.num_vertices:

@@ -127,7 +127,7 @@ def build_hierarchy_device(
         graph: Graph, fine_op: EllOperator,
         cfg: MultigridConfig = MultigridConfig(),
         level_caps: Optional[Sequence[int]] = None,
-        kc_cap: int = 48, assoc_factor: int = 4, tri_factor: int = 4,
+        kc_cap: int = 48, assoc_factor: int = 2, tri_factor: int = 2,
         rap_cap: int = 128, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
@@ -270,15 +270,24 @@ def build_hierarchy_device(
             g, parents, samples, fine_valid=fine_valid)
         cg = coarse_graph(columns, coarse_points)
 
+        # Triangle caps: measured at 1M (scripts/probe_prolong1m.py)
+        # real triangles ~2x the real coarse count (cap already carries
+        # ~2x slack) and per-vertex association counts are mean 4.4 /
+        # max 31 at kc=48 -- while prolongation cost is LINEAR in the
+        # assoc pad A (A=192 measured 6.7 s, A=32 1.2 s at 1M).  Both
+        # caps overflow-flag through construct_voronoi_triangles into
+        # the level diagnostics, so undershooting a pathological mesh
+        # is a retry, never silence.
         t_max = tri_factor * cap
         a_max = assoc_factor * min(kc_cap, cap - 1)
         _note("voronoi triangles")
         triangles, t_ovf = construct_voronoi_triangles(cg, t_max, a_max)
 
         _note("prolongation")
-        u, counts = construct_prolongation(
+        u, counts, p_ovf = construct_prolongation(
             g.points, parents, coarse_points, cg.neighbors, triangles,
             scheme=cfg.weighting)
+        t_ovf = t_ovf | p_ovf
         u = u._replace(
             cols=jnp.where(fine_valid[:, None], u.cols, 0),
             weights=jnp.where(fine_valid[:, None], u.weights, 0.0))

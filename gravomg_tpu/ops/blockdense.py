@@ -380,9 +380,18 @@ def blockdense_minplus2(op: BlockDenseOperator, x_dist: jax.Array,
     :func:`blockdense_minplus` calls streams M twice AND materializes a
     second full-size operator with its entries zeroed (2.6 GB at 1M).
     Here the gate is derived from M on the fly and both minima ride one
-    variadic reduce, so XLA's input fusion reads M once.  Requires a
-    combine="min" operator (+inf empty slots; an empty slot fails the
-    threshold, so it drops out of both reductions).
+    variadic reduce, so XLA's input fusion reads M once.  (Measured
+    in-loop at 1M, scripts/probe_minplus_variants.py: this variadic
+    form runs rounds at ~269 ms vs ~304 ms for two separate plain
+    ``jnp.min`` reductions and ~526 ms for a fixed-width escape-ELL
+    variant -- standalone-launch timings suggest the opposite ranking,
+    but the ~48 ms degraded-dispatch tax and different fusion inside
+    ``scan``/``while_loop`` make only in-loop slopes trustworthy.  The
+    per-round cost splits roughly evenly between the 2.56 GB M streams
+    and the escape chute's 2M-slot gathers + sorted scatter
+    segment_mins; both are structural, not formulation, costs.)
+    Requires a combine="min" operator (+inf empty slots; an empty slot
+    fails the threshold, so it drops out of both reductions).
     """
     r = op.n_rows
     wd = _gather_windows(op, jnp.where(jnp.isinf(x_dist), jnp.inf, x_dist))

@@ -461,14 +461,16 @@ def _prolongation_block_affine(fp, par, coarse_points, coarse_nbr,
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "block",
-                                             "precise_weights", "affine"))
+                                             "precise_weights", "affine",
+                                             "first_pass_assoc"))
 def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
                            coarse_points: jax.Array, coarse_nbr: jax.Array,
                            triangles: TriangleSet,
                            scheme: int = BARYCENTRIC,
                            block: int = 16384,
                            precise_weights: bool = False,
-                           affine: str = "auto"
+                           affine: str = "auto",
+                           first_pass_assoc: int = 32
                            ) -> Tuple[Prolongation, jax.Array]:
     """Assemble U (reference `src/multigrid.cpp:265-498`).
 
@@ -483,8 +485,11 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
     O(V) elements (requires jax x64 to be enabled).
 
     Returns (Prolongation, case_counts (3,) int32 = [triangle hits,
-    edge fallbacks, point fallbacks]); `case_counts` surfaces the
-    reference's never-printed counters (`src/multigrid.cpp:282-284`).
+    edge fallbacks, point fallbacks], escalation_overflow () bool);
+    `case_counts` surfaces the reference's never-printed counters
+    (`src/multigrid.cpp:282-284`); the overflow is True iff the
+    two-pass escalation (below) ran out of its static compaction cap
+    and some rows kept first-pass fallback weights.
 
     ``affine`` selects the lane-major affine-barycentric kernel
     (:func:`_prolongation_block_affine`): "auto" enables it for f32
@@ -493,6 +498,17 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
     sequential-formula kernel for f64/compat runs, whose 1e-12 oracle
     bound depends on following the reference's exact float sequence.
     "on"/"off" force it.
+
+    ``first_pass_assoc`` (affine path only): kernel cost is LINEAR in
+    the association pad A while real per-vertex triangle counts are
+    tiny (measured at 1M: mean 4.4, max 31 against A = 96), so the
+    first pass scans only the first ``first_pass_assoc`` candidates.
+    That is exact for every point that either hits a triangle there
+    (first-hit order is assoc order, so an early hit is THE hit,
+    `src/multigrid.cpp:374-380`) or whose parent has no later
+    candidates; the rare rest -- no early hit AND parent assoc count
+    beyond the slice -- rerun at full A via a static-size compaction
+    (cap vf // 8 + 1 block, overflow-flagged).  0 disables.
     """
     out_dtype = fine_points.dtype
     use_affine = (affine == "on"
@@ -524,14 +540,18 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
     fp = jnp.pad(fine_points, ((0, vpad - vf), (0, 0)))
     pp = jnp.pad(parents, (0, vpad - vf))
 
+    esc_ovf = jnp.bool_(False)
     if use_affine:
         packed_rot, enc, nbr_planes = _affine_tables(
             coarse_points, coarse_nbr, triangles)
+        a_full = enc.shape[1]
+        a1 = first_pass_assoc if 0 < first_pass_assoc < a_full else a_full
+        enc1 = enc[:, :a1]
 
         def run_block(args):
             f, par = args
             return _prolongation_block_affine(
-                f, par, coarse_points, coarse_nbr, packed_rot, enc,
+                f, par, coarse_points, coarse_nbr, packed_rot, enc1,
                 nbr_planes, scheme)
     else:
         def run_block(args):
@@ -541,11 +561,49 @@ def construct_prolongation(fine_points: jax.Array, parents: jax.Array,
 
     cols, wts, flags = jax.lax.map(
         run_block, (fp.reshape(-1, block, 3), pp.reshape(-1, block)))
-    cols = cols.reshape(vpad, 3)[:vf]
-    wts = wts.reshape(vpad, 3)[:vf].astype(out_dtype)
-    flags = flags.reshape(vpad, 3)[:vf]
+    cols = cols.reshape(vpad, 3)
+    wts = wts.reshape(vpad, 3)
+    flags = flags.reshape(vpad, 3)
+
+    if use_affine and a1 < a_full:
+        # Escalation pass: exact only beyond the slice for points whose
+        # parent has candidates there AND that found no early hit (an
+        # early hit is final: first-hit order is assoc order).
+        acount = jnp.sum(triangles.assoc != INVALID_INDEX, axis=1)
+        need = ((acount[pp] > a1) & jnp.any(flags, axis=1)
+                & ~flags[:, 0])
+        need = need & (jnp.arange(vpad) < vf)
+        esc_cap = min(vpad, ((max(block, vpad // 8) + block - 1)
+                             // block) * block)
+        esc_ovf = jnp.sum(need) > esc_cap
+        idx = jnp.nonzero(need, size=esc_cap, fill_value=vpad)[0]
+        idx_safe = jnp.minimum(idx, vpad - 1)
+
+        def run_block_full(args):
+            f, par = args
+            return _prolongation_block_affine(
+                f, par, coarse_points, coarse_nbr, packed_rot, enc,
+                nbr_planes, scheme)
+
+        cols2, wts2, flags2 = jax.lax.map(
+            run_block_full, (fp[idx_safe].reshape(-1, block, 3),
+                             pp[idx_safe].reshape(-1, block)))
+        # Sentinel-row scatter: fill slots land at row vpad and drop.
+        def put(dst, src):
+            buf = jnp.concatenate(
+                [dst, jnp.zeros((1, 3), dst.dtype)], axis=0)
+            return buf.at[idx].set(src.reshape(esc_cap, 3))[:vpad]
+
+        cols = put(cols, cols2)
+        wts = put(wts, wts2)
+        flags = put(flags, flags2)
+
+    cols = cols[:vf]
+    wts = wts[:vf].astype(out_dtype)
+    flags = flags[:vf]
     counts = jnp.sum(flags, axis=0).astype(jnp.int32)
-    return Prolongation(cols=cols, weights=wts, n_coarse=n_coarse), counts
+    return (Prolongation(cols=cols, weights=wts, n_coarse=n_coarse),
+            counts, esc_ovf)
 
 
 def prolong(u_op: Prolongation, coarse_values: jax.Array) -> jax.Array:

@@ -72,7 +72,7 @@ def main(depth: int, n: int = 1_000_000):
         tris, t_ovf = construct_voronoi_triangles(cg, 4 * cap, 4 * 47)
         last = tris.assoc
     if depth >= 8:
-        u, counts = construct_prolongation(
+        u, counts, _ = construct_prolongation(
             graph.points, parents, cp, cg.neighbors, tris,
             scheme=cfg.weighting)
         last = u.weights

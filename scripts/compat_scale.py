@@ -129,7 +129,7 @@ def main():
         tris, t_ovf = g.construct_voronoi_triangles(
             cg, max(8 * nc, 1024), 256)
         assert not bool(t_ovf)
-        u, counts = g.construct_prolongation(
+        u, counts, _ = g.construct_prolongation(
             graph.points, par_c, cp, cg.neighbors, tris,
             scheme=g.BARYCENTRIC)
         w_err, supp = compare_u(u, csrc, v)

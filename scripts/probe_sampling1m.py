@@ -104,9 +104,10 @@ def main():
     print(f"per-round slope = {(times[10]-times[2])/8*1000:.2f} ms",
           flush=True)
 
-    # Round count to convergence: run 256 recorded rounds, find the
+    # Round count to convergence: 24 recorded rounds (a 256-round scan
+    # is one ~70 s launch -- the device watchdog kills it), find the
     # first round with zero undecided.
-    st, und = k_rounds(256)
+    st, und = k_rounds(24)
     und_np = np.asarray(und)
     conv = int(np.argmax(und_np == 0)) if (und_np == 0).any() else -1
     print(f"undecided per round (first 40): {und_np[:40].tolist()}",

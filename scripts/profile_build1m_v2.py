@@ -115,7 +115,7 @@ def level_stages(tag, graph, op, cap, kc_cap, cfg, fine_valid=None,
                  lambda: coarse_from_mean_of_fine_children(
                      graph, parents, samples, fine_valid=fine_valid))
     cg = coarse_graph(columns, cpts)
-    t_max, a_max = 4 * cap, 4 * min(kc_cap, cap - 1)
+    t_max, a_max = 2 * cap, 2 * min(kc_cap, cap - 1)  # builder defaults
 
     tris_pair = timed(f"{tag} voronoi_triangles",
                       lambda: construct_voronoi_triangles(cg, t_max, a_max))

@@ -122,7 +122,7 @@ def main():
     cg = coarse_graph(columns, cpts)
     t_max, a_max = 4 * cap, 4 * kc_cap
     tris, _ = construct_voronoi_triangles(cg, t_max, a_max)
-    u, _ = construct_prolongation(graph.points, parents, cpts,
+    u, _, _ = construct_prolongation(graph.points, parents, cpts,
                                   cg.neighbors, tris,
                                   scheme=cfg.weighting)
     ut_cap = min(-(-max(8, 12 * 3 * u.n_fine // u.n_coarse) // 8) * 8,

@@ -90,7 +90,7 @@ def test_pipeline_matches_oracle(name, pts):
 
     # --- C12 prolongation, all three weighting schemes ---
     for scheme in (g.BARYCENTRIC, g.UNIFORM, g.INVDIST):
-        u, counts = g.construct_prolongation(
+        u, counts, _ = g.construct_prolongation(
             jnp.asarray(pts), jnp.asarray(par), jnp.asarray(cp),
             cg.neighbors, tris, scheme=scheme)
         rows_o, counts_o = oracle.construct_prolongation(
@@ -111,7 +111,7 @@ def test_pipeline_matches_oracle(name, pts):
                 assert abs(mine[c] - theirs[c]) < 1e-12, (scheme, i, c)
 
     # --- C13 projection ---
-    u, _ = g.construct_prolongation(
+    u, _, _ = g.construct_prolongation(
         jnp.asarray(pts), jnp.asarray(par), jnp.asarray(cp),
         cg.neighbors, tris, scheme=g.BARYCENTRIC)
     proj = np.asarray(g.projected_points(u, jnp.asarray(cp)))

@@ -45,13 +45,13 @@ def test_f32_weights_match_f64_oracle(n):
     cg = g.coarse_graph(cols, cp32)
     tris, t_ovf = g.construct_voronoi_triangles(cg, 8 * n_coarse, 256)
     assert not bool(t_ovf)
-    u32, counts = g.construct_prolongation(
+    u32, counts, _ = g.construct_prolongation(
         graph.points, par, cp32, cg.neighbors, tris,
         scheme=g.BARYCENTRIC)
     assert u32.weights.dtype == jnp.float32
     # Precise mode: f64 weight arithmetic on the same (f32) hierarchy,
     # rounded back to f32 -- the path that meets the 1e-6 target.
-    u32p, _ = g.construct_prolongation(
+    u32p, _, _ = g.construct_prolongation(
         graph.points, par, cp32, cg.neighbors, tris,
         scheme=g.BARYCENTRIC, precise_weights=True)
     assert u32p.weights.dtype == jnp.float32

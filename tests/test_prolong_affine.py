@@ -35,10 +35,10 @@ def _pipeline(n, seed, k=10):
 @pytest.mark.parametrize("scheme", [g.BARYCENTRIC, g.UNIFORM, g.INVDIST])
 def test_affine_matches_exact_f32(scheme):
     graph, par, cp, cg, tris = _pipeline(4000, seed=7)
-    u_ex, counts_ex = g.construct_prolongation(
+    u_ex, counts_ex, _ = g.construct_prolongation(
         graph.points, par, cp, cg.neighbors, tris, scheme=scheme,
         affine="off")
-    u_af, counts_af = g.construct_prolongation(
+    u_af, counts_af, _ = g.construct_prolongation(
         graph.points, par, cp, cg.neighbors, tris, scheme=scheme,
         affine="on")
     # Same case selection everywhere (no sign flips on a generic cloud).
@@ -54,14 +54,34 @@ def test_affine_matches_exact_f32(scheme):
 
 def test_affine_auto_dispatch():
     graph, par, cp, cg, tris = _pipeline(2000, seed=3)
-    u_auto, _ = g.construct_prolongation(
+    u_auto, _, _ = g.construct_prolongation(
         graph.points, par, cp, cg.neighbors, tris)
-    u_on, _ = g.construct_prolongation(
+    u_on, _, _ = g.construct_prolongation(
         graph.points, par, cp, cg.neighbors, tris, affine="on")
     np.testing.assert_array_equal(np.asarray(u_auto.cols),
                                   np.asarray(u_on.cols))
     np.testing.assert_array_equal(np.asarray(u_auto.weights),
                                   np.asarray(u_on.weights))
+
+
+def test_two_pass_escalation_exact():
+    """A tiny first-pass slice forces heavy escalation; results must be
+    identical to the single full-width pass."""
+    graph, par, cp, cg, tris = _pipeline(4000, seed=11)
+    u_full, counts_full, ovf_full = g.construct_prolongation(
+        graph.points, par, cp, cg.neighbors, tris, affine="on",
+        first_pass_assoc=0)
+    u_two, counts_two, ovf_two = g.construct_prolongation(
+        graph.points, par, cp, cg.neighbors, tris, affine="on",
+        first_pass_assoc=4)
+    assert not bool(ovf_full)
+    assert not bool(ovf_two)
+    np.testing.assert_array_equal(np.asarray(counts_full),
+                                  np.asarray(counts_two))
+    np.testing.assert_array_equal(np.asarray(u_full.cols),
+                                  np.asarray(u_two.cols))
+    np.testing.assert_array_equal(np.asarray(u_full.weights),
+                                  np.asarray(u_two.weights))
 
 
 def test_assoc_rot_consistent():
