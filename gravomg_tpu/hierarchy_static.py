@@ -128,7 +128,7 @@ def build_hierarchy_device(
         cfg: MultigridConfig = MultigridConfig(),
         level_caps: Optional[Sequence[int]] = None,
         kc_cap: int = 48, assoc_factor: int = 2, tri_factor: int = 2,
-        rap_cap: int = 128, sampling_rounds: Optional[int] = None,
+        rap_cap: int = 64, sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,

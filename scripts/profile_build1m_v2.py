@@ -82,7 +82,7 @@ def timed(name, fn, reps=REPS):
 
 
 def level_stages(tag, graph, op, cap, kc_cap, cfg, fine_valid=None,
-                 rap_cap=128, rap_y_width=24):
+                 rap_cap=64, rap_y_width=24):
     """Time every default-path stage of ONE coarsening level."""
     radius = sampling_radius(graph, cfg.reduction_ratio)
     v = graph.num_vertices
