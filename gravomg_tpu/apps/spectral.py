@@ -143,9 +143,45 @@ def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
     return x_new, p_new, theta, resnorm
 
 
+def spectral_alpha(graph: Graph, weighting: str = "invdist",
+                   target_frac: float = 0.25,
+                   rel_floor: float = 1e-6) -> jax.Array:
+    """Screening shift (pencil units) for an *eigen*-preconditioner.
+
+    The Poisson path's ``alpha="auto"`` pins the shift at 1e-4 of the
+    mean diagonal for f32-SPD safety -- but in pencil units that shift
+    grows like 1/h^3 with density (measured: 3.9 at 5k -> 355 at 100k
+    on a torus) while the target eigenvalues stay O(lam_1).  Once
+    alpha > lam_1 the V-cycle of L + alpha*M acts as a scaled identity
+    on the low modes and LOBPCG loses its preconditioner entirely
+    (measured: max resnorm 0.13 after 40 iterations at 100k).
+
+    This picks alpha ~ lam_1 * target_frac instead, estimating lam_1
+    from the Rayleigh quotients of the three M-centered coordinate
+    functions (smooth low-frequency surrogates on any embedded surface;
+    the min is an upper bound on lam_1 within a small factor -- 1.4x at
+    100k measured).  Clamped below by ``rel_floor`` of the mean
+    diagonal (>=10x above measured f32 Galerkin-RAP noise) and above by
+    the Poisson "auto" value (a smaller-than-auto alpha is only ever a
+    spectral improvement).  Stays traced: no host sync.
+    """
+    from gravomg_tpu.solve.spmv import spmv
+
+    lap, mass = graph_laplacian(graph, weighting)
+    v = graph.points - (jnp.sum(mass[:, None] * graph.points, axis=0)
+                        / jnp.sum(mass))[None, :]
+    rq = (jnp.sum(v * spmv(lap, v), axis=0)
+          / jnp.maximum(jnp.sum(mass[:, None] * v * v, axis=0), 1e-30))
+    lam1_est = jnp.min(rq)
+    diag_over_mass = jnp.mean(lap.diag) / jnp.mean(mass)
+    floor = rel_floor * diag_over_mass
+    auto = 1e-4 * diag_over_mass
+    return jnp.clip(target_frac * lam1_est, floor, auto)
+
+
 def laplace_eigs(graph: Graph, k: int = 8,
                  cfg: MultigridConfig = MultigridConfig(),
-                 h: Optional[Hierarchy] = None, alpha: float = 0.5,
+                 h: Optional[Hierarchy] = None, alpha="spectral",
                  weighting: str = "invdist", iters: int = 40,
                  tol: float = 1e-5, seed: int = 0):
     """k smallest eigenpairs of (L, M) on a kNN graph.
@@ -153,16 +189,22 @@ def laplace_eigs(graph: Graph, k: int = 8,
     Builds (or reuses via ``h``) the screened-Poisson hierarchy
     L + alpha*M as the preconditioner -- its V-cycle approximates
     (L + alpha*M)^{-1}, spectrally equivalent to L^{-1} on the low end,
-    which is what LOBPCG needs.  Returns (eigenvalues (k,),
-    eigenvectors (V, k), residual norms (k,)); eigenvectors are
-    M-orthonormal.  The first pair is the Laplacian nullspace
-    (lam ~ 0, constant vector).
+    which is what LOBPCG needs.  ``alpha="spectral"`` (default) sizes
+    the shift to the estimated lam_1 (:func:`spectral_alpha`); the
+    Poisson-tuned ``"auto"`` overshoots lam_1 at scale and degrades the
+    preconditioner to a scaled identity (see spectral_alpha).  Callers
+    passing a prebuilt ``h`` own that trade-off themselves.  Returns
+    (eigenvalues (k,), eigenvectors (V, k), residual norms (k,));
+    eigenvectors are M-orthonormal.  The first pair is the Laplacian
+    nullspace (lam ~ 0, constant vector).
 
     tol is on ||L v - lam M v|| / lam_max, checked host-side between
     jitted steps (watchdog-safe single-step launches).
     """
     lap, mass = graph_laplacian(graph, weighting)
     if h is None:
+        if isinstance(alpha, str) and alpha == "spectral":
+            alpha = spectral_alpha(graph, weighting)
         h = poisson_hierarchy(graph, alpha=alpha, cfg=cfg)
     # Accept either the full Hierarchy or a bare SolverHierarchy (e.g.
     # a compacted device-built solver with fast operators attached).

@@ -80,7 +80,8 @@ def timed_call(fn, *args):
     return time.perf_counter() - t0, out
 
 
-def pipeline(pts, k, cfg, attach=True, keep_h=False, use_pallas=None):
+def pipeline(pts, k, cfg, attach=True, keep_h=False, use_pallas=None,
+             alpha="auto"):
     """Build graph -> operator -> hierarchy -> compacted fast solver.
 
     HBM hygiene (the single 16 GB worker dies if configs pin unused
@@ -93,7 +94,12 @@ def pipeline(pts, k, cfg, attach=True, keep_h=False, use_pallas=None):
     graph, short = grid_knn_graph_nosync(pts, k, margin=2.4)
     # alpha="auto": a fixed screening shift falls below f32 resolution
     # as density grows (the 1M divergence, PROGRESS round-3 notes).
-    spd, mass = g.screened_poisson_operator(graph, alpha="auto")
+    # Callables (e.g. apps.spectral.spectral_alpha) pick the shift from
+    # the built graph -- the eigensolver needs alpha ~ lam_1, not the
+    # Poisson-tuned auto value.
+    if callable(alpha):
+        alpha = float(alpha(graph))
+    spd, mass = g.screened_poisson_operator(graph, alpha=alpha)
     build_kw = {}
     t0 = time.perf_counter()
     h, diags = build_hierarchy_device(graph, spd, cfg)
@@ -310,15 +316,20 @@ def c6_spectral():
     """MG-preconditioned block LOBPCG: 12 lowest Laplace eigenpairs on
     a 100k cloud (the other half of BASELINE config 5's "spectral /
     curvature-flow stepping")."""
-    from gravomg_tpu.apps.spectral import laplace_eigs
+    from gravomg_tpu.apps.spectral import laplace_eigs, spectral_alpha
     n = sz(100_000)
     k = 12
     pts = torus_points(n, seed=6)
     cfg = g.MultigridConfig(coarse_threshold=800, smoother="chebyshev")
     # attach=False: LOBPCG preconditions the whole (V, 3k) block, which
     # takes the multi-RHS ELL path; fast single-RHS forms never run.
-    graph, spd, h, sol, t_build, levels = pipeline(pts, 12, cfg,
-                                                   attach=False)
+    # alpha=spectral_alpha: the Poisson "auto" shift reaches 355 in
+    # pencil units at 100k -- above lam_1 = 154 -- turning the V-cycle
+    # preconditioner into a scaled identity on the target modes (the
+    # round-4 max_resnorm 0.13 artifact); the spectral shift sizes it
+    # to ~lam_1/4.
+    graph, spd, h, sol, t_build, levels = pipeline(
+        pts, 12, cfg, attach=False, alpha=spectral_alpha)
     t0 = time.perf_counter()
     lams, vecs, res = laplace_eigs(graph, k=k, cfg=cfg, h=sol, iters=40,
                                    tol=1e-5)

@@ -152,3 +152,27 @@ def test_laplace_eigs_reuses_hierarchy(rng):
     gram = np.asarray(vecs).T @ (np.asarray(mass)[:, None]
                                  * np.asarray(vecs))
     assert np.abs(gram - np.eye(4)).max() < 1e-4
+
+
+def test_spectral_alpha_scale_aware():
+    # The Poisson "auto" screening shift grows like 1/h^3 in pencil
+    # units and overtakes lam_1 at scale (355 vs 154 at 100k measured),
+    # flattening the LOBPCG preconditioner; spectral_alpha must stay
+    # below it at density while never dropping under the f32-SPD floor.
+    from gravomg_tpu.apps.spectral import spectral_alpha
+    from gravomg_tpu.geometry.meshes import torus_points
+    from gravomg_tpu.geometry.order import morton_order
+    from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
+
+    pts = torus_points(20000, seed=6).astype(np.float32)
+    pts = pts[morton_order(pts)]
+    graph, short = grid_knn_graph_nosync(pts, 12, margin=2.4)
+    assert not bool(short)
+    lap, mass = g.graph_laplacian(graph, "invdist")
+    dom = float(jnp.mean(lap.diag) / jnp.mean(mass))
+    auto, floor = 1e-4 * dom, 1e-6 * dom
+    a = float(spectral_alpha(graph))
+    assert floor <= a <= auto
+    # At 20k density the lam_1-sized shift is already strictly below
+    # auto (measured 24.8 vs 31.5); on sparser clouds it clips to auto.
+    assert a < 0.95 * auto
