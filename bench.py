@@ -91,7 +91,7 @@ from gravomg_tpu.hierarchy_static import (build_hierarchy_device,
                                           check_diagnostics,
                                           compact_solver)
 
-def build_pipeline(n):
+def build_pipeline(n, escalate=0):
     # Morton-order the cloud host-side: a pure relabeling that gives
     # every level the spatial index locality the gather-free banded
     # operators need (ops/banded.py).
@@ -106,7 +106,15 @@ def build_pipeline(n):
     # stall.  Auto pins the shift at 1e-4 of the mean diagonal
     # (apps/poisson.py), keeping every Galerkin level SPD in f32.
     spd, _ = g.screened_poisson_operator(graph, alpha="auto")
-    h, diags = build_hierarchy_device(graph, spd, cfg)
+    # escalate > 0: widen every static cap (the same retry discipline as
+    # scripts/bench_configs.py) -- a mesh the default plan undershoots
+    # costs a rebuild, never the round's artifact (BENCH_r04 died on a
+    # rap_cap overflow with no retry).
+    kw = {}
+    if escalate:
+        from gravomg_tpu.config import DEFAULT_CAPS
+        kw = dict(caps=DEFAULT_CAPS.escalated(escalate))
+    h, diags = build_hierarchy_device(graph, spd, cfg, **kw)
     return cfg, graph, spd, h, diags, short
 """
 
@@ -128,7 +136,25 @@ t_build = time.perf_counter() - t0
 # level to tight row/degree buckets -- the padded plan carries up to
 # ~3x phantom rows otherwise.
 assert not bool(short), "grid kNN shortfall"
-check_diagnostics(diags)
+escalate = 0
+while True:
+    try:
+        check_diagnostics(diags)
+        break
+    except RuntimeError as e:
+        escalate += 1
+        if escalate > 2:
+            raise
+        # Cap overflow: rebuild with widened caps instead of losing the
+        # round's headline (BENCH_r04 regression).  t_build then times
+        # the escalated build -- honest, and the artifact records it.
+        print(f"# caps escalation {escalate}: {e}", file=sys.stderr)
+        h = diags = None
+        gc.collect()
+        t0 = time.perf_counter()
+        cfg, graph, spd, h, diags, short = build_pipeline(n, escalate)
+        probe = float(jnp.sum(h.solver.levels[-1].op.diag))
+        t_build = time.perf_counter() - t0
 sol = compact_solver(h.solver, diags)
 # Fast operator forms: bucketed variable-window (slab) Pallas kernels
 # on the large levels (pay only for the windows each row block needs;
@@ -240,7 +266,8 @@ pcg16_it_s = (q2 - q1) / (n2 - n1)
 _, rel16, iters16 = g.mg_fcg(sol16, b, cfg, h_outer=sol)
 time_to_1e8_bf16 = pcg16_it_s * int(iters16)
 
-json.dump({"t_build": t_build, "t1": t1, "t2": t2, "t3": t3,
+json.dump({"t_build": t_build, "escalate": escalate,
+           "t1": t1, "t2": t2, "t3": t3,
            "n1": n1, "n2": n2, "n3": n3, "slope_s": float(slope),
            "slope_r2": r2, "residual": rel,
            "pcg_iter_s": pcg_it_s, "pcg_iters": iters_pcg,
@@ -268,16 +295,16 @@ save_solver(sys.argv[5], sol)
 # cached: the "warm" subprocess then measured a cold compile storm,
 # 875 s at 1M.)
 _WARM_BUILD_SCRIPT = _COMMON + r"""
-n, out = int(sys.argv[1]), sys.argv[-1]
-cfg, graph, spd, h, diags, short = build_pipeline(n)
+n, esc, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[-1]
+cfg, graph, spd, h, diags, short = build_pipeline(n, esc)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 # Free the first build BEFORE the second: a tuple rebind drops the old
-# hierarchy only after the new build returns, so both would be resident
-# together -- 2x HBM, ResourceExhausted at 1M (measured r4).
+# hierarchy only after the second build returns, so both would be
+# resident together -- 2x HBM, ResourceExhausted at 1M (measured r4).
 h = diags = None
 gc.collect()
 t0 = time.perf_counter()
-cfg, graph, spd, h, diags, short = build_pipeline(n)
+cfg, graph, spd, h, diags, short = build_pipeline(n, esc)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 t_build = time.perf_counter() - t0
 json.dump({"t_build_warm": t_build}, open(out, "w"))
@@ -292,15 +319,21 @@ json.dump({"t_build_warm": t_build}, open(out, "w"))
 # the true per-build execution slope with launch/compile/probe constants
 # cancelled (same protocol as the V-cycle slope).
 _BUILD_EXEC_SCRIPT = _COMMON + r"""
-n, reps, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[-1]
+n, reps, esc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+out = sys.argv[-1]
+kw = {}
+if esc:
+    kw = dict(rap_cap=64 * 2 ** esc, kc_cap=48 + 16 * esc,
+              assoc_factor=2 * 2 ** esc, tri_factor=2 * 2 ** esc,
+              rap_y_width=24 * 2 ** esc)
 t0 = time.perf_counter()
-cfg, graph, spd, h, diags, short = build_pipeline(n)
+cfg, graph, spd, h, diags, short = build_pipeline(n, esc)
 for _ in range(reps):
     # Free the previous hierarchy BEFORE rebuilding: a tuple rebind
     # keeps it alive through the new build (2x HBM, OOM at 1M).
     h = diags = None
     gc.collect()
-    h, diags = build_hierarchy_device(graph, spd, cfg)
+    h, diags = build_hierarchy_device(graph, spd, cfg, **kw)
 probe = float(jnp.sum(h.solver.levels[-1].op.diag))
 json.dump({"t_total": time.perf_counter() - t0, "reps": reps},
           open(out, "w"))
@@ -468,26 +501,29 @@ def run_tpu(n: int, n1: int, n2: int, n3: int) -> dict:
     return json.load(open(out))
 
 
-def run_warm_build(n: int) -> dict:
+def run_warm_build(n: int, esc: int = 0) -> dict:
     os.makedirs(CACHE, exist_ok=True)
-    out = os.path.join(CACHE, f"tpu_warmbuild_{n}.json")
+    sfx = f"_e{esc}" if esc else ""
+    out = os.path.join(CACHE, f"tpu_warmbuild_{n}{sfx}.json")
     if not os.path.exists(out):
         subprocess.run(
-            [sys.executable, "-c", _WARM_BUILD_SCRIPT, str(n),
+            [sys.executable, "-c", _WARM_BUILD_SCRIPT, str(n), str(esc),
              os.path.join(CACHE, "xla"), out], check=True, cwd=REPO,
             timeout=_remaining())
     return json.load(open(out))
 
 
-def run_build_exec(n: int, r1: int = 0, r2: int = 4) -> dict:
+def run_build_exec(n: int, r1: int = 0, r2: int = 4,
+                   esc: int = 0) -> dict:
     os.makedirs(CACHE, exist_ok=True)
+    sfx = f"_e{esc}" if esc else ""
     ts = {}
     for reps in (r1, r2):
-        out = os.path.join(CACHE, f"tpu_buildexec_{n}_{reps}.json")
+        out = os.path.join(CACHE, f"tpu_buildexec_{n}_{reps}{sfx}.json")
         if not os.path.exists(out):
             subprocess.run(
                 [sys.executable, "-c", _BUILD_EXEC_SCRIPT, str(n),
-                 str(reps), os.path.join(CACHE, "xla"), out],
+                 str(reps), str(esc), os.path.join(CACHE, "xla"), out],
                 check=True, cwd=REPO, timeout=_remaining())
         ts[reps] = json.load(open(out))["t_total"]
     return {"build_exec_s": (ts[r2] - ts[r1]) / (r2 - r1),
@@ -558,14 +594,15 @@ def main():
     # The auxiliary build timings must not take the headline down with
     # them: a dead TPU tunnel (or a watchdog fault in one probe) still
     # leaves a valid cached slope artifact to report.
+    esc = int(r.get("escalate", 0))
     try:
-        warm = run_warm_build(BENCH_N)
+        warm = run_warm_build(BENCH_N, esc)
     except Exception as e:  # noqa: BLE001
         print(f"# warm-build probe failed: {type(e).__name__}",
               file=sys.stderr)
         warm = {"t_build_warm": float("nan")}
     try:
-        bexec = run_build_exec(BENCH_N)
+        bexec = run_build_exec(BENCH_N, esc=esc)
     except Exception as e:  # noqa: BLE001
         print(f"# build-exec probe failed: {type(e).__name__}",
               file=sys.stderr)

@@ -23,6 +23,7 @@ from gravomg_tpu.solve.cg import mg_pcg
 def screened_poisson_operator(graph: Graph, alpha=0.5,
                               weighting: str = "invdist",
                               rel_floor: float = 1e-4,
+                              lap_mass: Optional[Tuple] = None,
                               ) -> Tuple[EllOperator, jax.Array]:
     """A = L + alpha * diag(mass): SPD screened-Poisson operator.
 
@@ -37,8 +38,12 @@ def screened_poisson_operator(graph: Graph, alpha=0.5,
     diagonal -- physically a screened Poisson whose screening length
     tracks the mesh, numerically SPD by a margin ~1e2 above f32 RAP
     noise at every level.  Stays traced (no host sync).
+
+    ``lap_mass``: optional precomputed ``(lap, mass)`` pair to avoid
+    re-assembling the Laplacian (large clouds, repeated callers).
     """
-    lap, mass = graph_laplacian(graph, weighting)
+    lap, mass = (lap_mass if lap_mass is not None
+                 else graph_laplacian(graph, weighting))
     if isinstance(alpha, str):
         if alpha != "auto":
             raise ValueError(f"unknown alpha mode {alpha!r}")
@@ -47,8 +52,9 @@ def screened_poisson_operator(graph: Graph, alpha=0.5,
 
 
 def poisson_hierarchy(graph: Graph, alpha: float = 0.5,
-                      cfg: MultigridConfig = MultigridConfig()) -> Hierarchy:
-    op, _ = screened_poisson_operator(graph, alpha)
+                      cfg: MultigridConfig = MultigridConfig(),
+                      lap_mass: Optional[Tuple] = None) -> Hierarchy:
+    op, _ = screened_poisson_operator(graph, alpha, lap_mass=lap_mass)
     return build_hierarchy(graph, op, cfg)
 
 

@@ -145,7 +145,8 @@ def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
 
 def spectral_alpha(graph: Graph, weighting: str = "invdist",
                    target_frac: float = 0.25,
-                   rel_floor: float = 1e-6) -> jax.Array:
+                   rel_floor: float = 1e-5,
+                   lap_mass: Optional[Tuple] = None) -> jax.Array:
     """Screening shift (pencil units) for an *eigen*-preconditioner.
 
     The Poisson path's ``alpha="auto"`` pins the shift at 1e-4 of the
@@ -160,19 +161,30 @@ def spectral_alpha(graph: Graph, weighting: str = "invdist",
     from the Rayleigh quotients of the three M-centered coordinate
     functions (smooth low-frequency surrogates on any embedded surface;
     the min is an upper bound on lam_1 within a small factor -- 1.4x at
-    100k measured).  Clamped below by ``rel_floor`` of the mean
-    diagonal (>=10x above measured f32 Galerkin-RAP noise) and above by
-    the Poisson "auto" value (a smaller-than-auto alpha is only ever a
-    spectral improvement).  Stays traced: no host sync.
+    100k measured).  Coordinates with negligible M-weighted variance
+    (a planar cloud's normal direction) are excluded: their quotient is
+    0/guard ~ 0 and would collapse the min regardless of the valid
+    coordinates.  Clamped below by ``rel_floor`` of the mean diagonal --
+    measured f32 Galerkin-RAP noise sits at ~1e-6 of the diagonal
+    (the Poisson path's 1e-4 "auto" floor carries ~1e2 margin over it),
+    so 1e-5 keeps ~10x SPD margin even when the floor binds -- and
+    above by the Poisson "auto" value (a smaller-than-auto alpha is
+    only ever a spectral improvement).  Stays traced: no host sync.
+
+    ``lap_mass``: optional precomputed ``(lap, mass)`` pair (as from
+    :func:`graph_laplacian`) to avoid re-assembling the Laplacian.
     """
     from gravomg_tpu.solve.spmv import spmv
 
-    lap, mass = graph_laplacian(graph, weighting)
+    lap, mass = (lap_mass if lap_mass is not None
+                 else graph_laplacian(graph, weighting))
     v = graph.points - (jnp.sum(mass[:, None] * graph.points, axis=0)
                         / jnp.sum(mass))[None, :]
+    var = jnp.sum(mass[:, None] * v * v, axis=0)
+    nondegenerate = var > 1e-6 * jnp.max(var)
     rq = (jnp.sum(v * spmv(lap, v), axis=0)
-          / jnp.maximum(jnp.sum(mass[:, None] * v * v, axis=0), 1e-30))
-    lam1_est = jnp.min(rq)
+          / jnp.maximum(var, 1e-30))
+    lam1_est = jnp.min(jnp.where(nondegenerate, rq, jnp.inf))
     diag_over_mass = jnp.mean(lap.diag) / jnp.mean(mass)
     floor = rel_floor * diag_over_mass
     auto = 1e-4 * diag_over_mass
@@ -204,8 +216,10 @@ def laplace_eigs(graph: Graph, k: int = 8,
     lap, mass = graph_laplacian(graph, weighting)
     if h is None:
         if isinstance(alpha, str) and alpha == "spectral":
-            alpha = spectral_alpha(graph, weighting)
-        h = poisson_hierarchy(graph, alpha=alpha, cfg=cfg)
+            alpha = spectral_alpha(graph, weighting,
+                                   lap_mass=(lap, mass))
+        h = poisson_hierarchy(graph, alpha=alpha, cfg=cfg,
+                              lap_mass=(lap, mass))
     # Accept either the full Hierarchy or a bare SolverHierarchy (e.g.
     # a compacted device-built solver with fast operators attached).
     solver = h.solver if hasattr(h, "solver") else h

@@ -55,3 +55,45 @@ class MultigridConfig:
     # Polak-Ribiere beta is what makes the rounded preconditioner
     # convergent (fixed-beta PCG diverged under bf16, BENCH_r02).
     bf16_threshold: int = 500_000
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildCaps:
+    """Static-cap defaults for the device-resident builder -- the ONE
+    place they live (VERDICT r4: the rap_cap 128->64 halving landed in
+    hierarchy_static.py alone, unvalidated at 1M, and broke the default
+    north-star build).  `build_hierarchy_device` resolves its cap
+    keyword defaults from `DEFAULT_CAPS`; tests/test_caps.py pins
+    adequacy of this exact object against the measured structural
+    requirements of a >=500k hierarchy, so editing a value here without
+    re-validating fails CI rather than the end-of-round bench.
+    """
+    # Values sized from the measured 1M structural profile
+    # (scripts/diag_build1m.py on TPU, 2026-08-20: true Galerkin
+    # off-degree <= 46 across all transitions, worst large-level 40;
+    # y_req 18-27 handled by rap_y_width_for_level's tiering) with the
+    # greedy-hierarchy audit (scripts/check_caps.py) tracking the same
+    # profile.  The BENCH_r04 default-build failure was the y-width
+    # tier boundary, not rap_cap.
+    kc_cap: int = 48            # coarse adjacency degree cap
+    assoc_factor: int = 2       # per-vertex triangle association pad
+    tri_factor: int = 2         # triangle count cap (x coarse cap)
+    rap_cap: int = 64           # Galerkin off-diagonal degree (large lvls)
+    rap_y_width: int = 24       # lane-merged distinct-coarse-cols pad
+    children_headroom: int = 12 # U^T children cap (x padded mean)
+    min_reduction: float = 4.0  # plan_levels per-level cap divisor
+
+    def escalated(self, step: int = 1) -> "BuildCaps":
+        """Widened caps for overflow retries (each step roughly doubles
+        every data-dependent cap)."""
+        return dataclasses.replace(
+            self,
+            kc_cap=self.kc_cap + 16 * step,
+            assoc_factor=self.assoc_factor * 2 ** step,
+            tri_factor=self.tri_factor * 2 ** step,
+            rap_cap=self.rap_cap * 2 ** step,
+            rap_y_width=self.rap_y_width * 2 ** step,
+            children_headroom=self.children_headroom * 2 ** step)
+
+
+DEFAULT_CAPS = BuildCaps()

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gravomg_tpu.config import MultigridConfig
+from gravomg_tpu.config import BuildCaps, DEFAULT_CAPS, MultigridConfig
 from gravomg_tpu.types import (EllOperator, Graph, Prolongation,
                                INVALID_INDEX)
 from gravomg_tpu.coarsen.sampling import (fast_disc_sample_bd,
@@ -61,6 +61,34 @@ class LevelDiagnostics(NamedTuple):
     sampling_undecided: jax.Array = np.bool_(False)  # rounds cap too small
     rt_overflow: jax.Array = np.bool_(False)  # U^T children cap too small
     bd_overflow: jax.Array = np.bool_(False)  # gather-free build caps
+
+
+def rap_y_width_for_level(num_vertices: int, max_degree: int,
+                          rap_y_width: int = DEFAULT_CAPS.rap_y_width
+                          ) -> int:
+    """Lane-merged Y width (distinct coarse columns per fine row of
+    A U) for a level with ``num_vertices`` rows of degree
+    ``max_degree``.
+
+    A row can touch up to 3*(K+1) distinct coarse columns, but the
+    measured requirement at 1M (scripts/diag_build1m.py, 2026-08-20)
+    is far smaller and GROWS with depth: y_req_max = 18 / 23 / 25 /
+    27 / 27 at transitions 0-4.  Width is expensive on the big level
+    (phase-2 sort volume is 3*y_w*Vf and its triplet emission unrolls
+    3*y_w HLO slices), so tier it: the finest level keeps the narrow
+    default, mid levels get 32 (the old one-threshold rule kept 24
+    down to 65k rows -- one short of the measured 25 at the 71k-row
+    transition: the BENCH_r04 default-build failure), small levels go
+    to the 3*(K+1) bound capped at 48 (an uncapped deep-level width
+    compiled for tens of minutes).  Overflow past the pad is always
+    detected (y_ovf -> diagnostics -> caller escalation); adequacy of
+    this exact rule is pinned by tests/test_caps.py.
+    """
+    if num_vertices > 300_000:
+        return rap_y_width
+    if num_vertices > 16384:
+        return max(rap_y_width, 32)
+    return min(3 * (max_degree + 1), max(rap_y_width, 48))
 
 
 def rap_cap_for_level(cap: int, rap_cap: int) -> int:
@@ -103,7 +131,7 @@ def plan_levels(v: int, cfg: MultigridConfig,
     escalated caps.
     """
     if min_reduction is None:
-        min_reduction = 4.0
+        min_reduction = DEFAULT_CAPS.min_reduction
     # Divide CAPS by min_reduction each level and estimate REAL rows as
     # cap / 2 for the stop test: measured per-level reductions are
     # ~3.9-4.2 on coarse graphs (RESULTS.json levels), so a flat /4 cap
@@ -127,13 +155,16 @@ def build_hierarchy_device(
         graph: Graph, fine_op: EllOperator,
         cfg: MultigridConfig = MultigridConfig(),
         level_caps: Optional[Sequence[int]] = None,
-        kc_cap: int = 48, assoc_factor: int = 2, tri_factor: int = 2,
-        rap_cap: int = 64, sampling_rounds: Optional[int] = None,
+        kc_cap: Optional[int] = None, assoc_factor: Optional[int] = None,
+        tri_factor: Optional[int] = None,
+        rap_cap: Optional[int] = None,
+        sampling_rounds: Optional[int] = None,
         sample_prune_cap: Optional[int] = None,
         gather_free: bool = True, exact_sampling: bool = False,
         sampling_seed: int = 0, sort_local: bool = False,
-        rap_y_width: int = 24, chained_sampling: bool = True,
+        rap_y_width: Optional[int] = None, chained_sampling: bool = True,
         rap_mode: str = "2phase", ece_local: bool = True,
+        caps: Optional[BuildCaps] = None,
 ) -> Tuple[Hierarchy, List[LevelDiagnostics]]:
     """Build the hierarchy without a single device-to-host transfer.
 
@@ -154,9 +185,23 @@ def build_hierarchy_device(
     with identical spacing guarantees, but a *different hierarchy* than
     the reference's index-order greedy.  Pass ``exact_sampling=True``
     (or ``gather_free=False``) for reference-compatible coarsening.
+
+    Cap defaults resolve from ``caps`` (default
+    :data:`gravomg_tpu.config.DEFAULT_CAPS` -- the single source of
+    truth, validated by tests/test_caps.py); explicit keyword arguments
+    override individual fields.
     """
+    caps = caps or DEFAULT_CAPS
+    kc_cap = caps.kc_cap if kc_cap is None else kc_cap
+    assoc_factor = (caps.assoc_factor if assoc_factor is None
+                    else assoc_factor)
+    tri_factor = caps.tri_factor if tri_factor is None else tri_factor
+    rap_cap = caps.rap_cap if rap_cap is None else rap_cap
+    rap_y_width = (caps.rap_y_width if rap_y_width is None
+                   else rap_y_width)
     if level_caps is None:
-        level_caps = plan_levels(graph.num_vertices, cfg)
+        level_caps = plan_levels(graph.num_vertices, cfg,
+                                 min_reduction=caps.min_reduction)
 
     # GRAVOMG_VERBOSE=1: stderr breadcrumb before each stage DISPATCH
     # (stages are async; on a device crash the last line names the
@@ -294,15 +339,8 @@ def build_hierarchy_device(
 
         _note("galerkin rap")
         r_cap = rap_cap_for_level(cap, rap_cap)
-        # Same adaptivity for the lane-merged Y width: a fine row of
-        # A U can touch up to 3*(K+1) distinct coarse columns, so small
-        # levels widen toward that bound -- but capped at 48, because
-        # the phase-2 triplet emission unrolls 3*y_width slices into
-        # the HLO (an uncapped 3*(2047+1) width from a wide-RAP deep
-        # level compiled for tens of minutes on CPU).  Overflow past
-        # the cap is still detected (y_ovf -> diagnostics).
-        y_w = (rap_y_width if op.num_vertices > 65536
-               else min(3 * (op.max_degree + 1), max(rap_y_width, 48)))
+        y_w = rap_y_width_for_level(op.num_vertices, op.max_degree,
+                                    rap_y_width)
         if sort_local:
             # Sort-local two-phase RAP (solve/rap2.py): lane merges
             # instead of the 9*nnz global lexsort; same operator.
@@ -352,7 +390,8 @@ def build_hierarchy_device(
             # children count is 3 * Vf / n_real; hub cells run ~3.5x
             # the mean (measured max 26 children at mean 7.6), so the
             # cap uses a 12x headroom factor over the padded-size mean.
-            cap = min(-(-max(8, 12 * 3 * u.n_fine // u.n_coarse) // 8)
+            hr = caps.children_headroom
+            cap = min(-(-max(8, hr * 3 * u.n_fine // u.n_coarse) // 8)
                       * 8, u.n_fine)
             _note("restriction")
             ut, rt_ovf = build_restriction(u, cap)
@@ -451,7 +490,9 @@ def check_diagnostics(diags: Sequence[LevelDiagnostics]) -> None:
         if bool(d.tri_overflow):
             problems.append("triangle/assoc cap overflow")
         if bool(d.rap_overflow):
-            problems.append("Galerkin degree cap (rap_cap) overflow")
+            problems.append(
+                "Galerkin cap overflow (rap_cap degree pad or the "
+                "rap_y_width lane-merge pad -- the flag covers both)")
         if bool(d.sampling_undecided):
             problems.append("sampling_rounds too small (undecided left)")
         if bool(d.rt_overflow):

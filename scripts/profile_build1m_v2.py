@@ -38,7 +38,8 @@ import gravomg_tpu as g
 from gravomg_tpu.geometry.meshes import torus_points
 from gravomg_tpu.geometry.order import morton_order
 from gravomg_tpu.geometry.gridknn import grid_knn_graph_nosync
-from gravomg_tpu.hierarchy_static import plan_levels, rap_cap_for_level
+from gravomg_tpu.hierarchy_static import (plan_levels, rap_cap_for_level,
+                                          rap_y_width_for_level)
 from gravomg_tpu.coarsen.sampling import (fast_disc_sample_chained,
                                           sampling_radius)
 from gravomg_tpu.coarsen.parents import (assign_parents_bd,
@@ -128,8 +129,8 @@ def level_stages(tag, graph, op, cap, kc_cap, cfg, fine_valid=None,
     u = u_pair[0]
 
     r_cap = rap_cap_for_level(cap, rap_cap)
-    y_w = (rap_y_width if op.num_vertices > 65536
-           else min(3 * (op.max_degree + 1), max(rap_y_width, 48)))
+    y_w = rap_y_width_for_level(op.num_vertices, op.max_degree,
+                                rap_y_width)
     rap_pair = timed(f"{tag} galerkin_rap_2phase",
                      lambda: galerkin_rap_2phase(op, u, r_cap, y_width=y_w))
     coarse_op = rap_pair[0]

@@ -3,6 +3,7 @@ hierarchy reuse (BASELINE configs 1-3 at test scale)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import gravomg_tpu as g
 from gravomg_tpu.apps.poisson import poisson_hierarchy, solve_poisson
@@ -170,9 +171,18 @@ def test_spectral_alpha_scale_aware():
     assert not bool(short)
     lap, mass = g.graph_laplacian(graph, "invdist")
     dom = float(jnp.mean(lap.diag) / jnp.mean(mass))
-    auto, floor = 1e-4 * dom, 1e-6 * dom
+    auto, floor = 1e-4 * dom, 1e-5 * dom
     a = float(spectral_alpha(graph))
     assert floor <= a <= auto
-    # At 20k density the lam_1-sized shift is already strictly below
-    # auto (measured 24.8 vs 31.5); on sparser clouds it clips to auto.
-    assert a < 0.95 * auto
+    # Derive the expectation from the same lam_1 estimate the function
+    # uses (Rayleigh quotients of the M-centered coordinates) instead of
+    # hardcoding a density-dependent margin against "auto".
+    from gravomg_tpu.solve.spmv import spmv
+    v = graph.points - (jnp.sum(mass[:, None] * graph.points, axis=0)
+                        / jnp.sum(mass))[None, :]
+    var = jnp.sum(mass[:, None] * v * v, axis=0)
+    rq = jnp.sum(v * spmv(lap, v), axis=0) / jnp.maximum(var, 1e-30)
+    lam1 = float(jnp.min(jnp.where(var > 1e-6 * jnp.max(var), rq,
+                                   jnp.inf)))
+    expected = min(max(0.25 * lam1, floor), auto)
+    assert a == pytest.approx(expected, rel=1e-5)
