@@ -153,3 +153,29 @@ def test_halo_matvec_multi_rhs(setup):
     got = halo_matvec(hl.op, x, mesh, "data")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-5)
+
+
+def test_halo_frac_shrinks_at_scale():
+    """The O(edge-cut) claim at a scale where it bites: exchange plans
+    built by the same build_halo_ell the solver uses, over a 50k
+    exact-greedy hierarchy (csrc + SciPy, no device build -- the plan
+    is a pure function of the column tables).  Committed evidence at
+    200k/1M: HALO_200K.json / HALO_1M.json (level-0 A halo_frac 0.033 /
+    0.014, scripts/halo_evidence.py)."""
+    import gravomg_tpu.io.native as native
+    if not native.available():
+        pytest.skip("csrc native library unavailable")
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from halo_evidence import main as halo_main
+    rep = halo_main(50_000, ND)
+    l0 = rep["levels"][0]
+    # Measured 0.069 / 0.103 / 0.060 at 50k (2026-08-20); margin for
+    # generator drift.
+    assert l0["A"]["halo_frac"] < 0.12, l0
+    assert l0["U"]["halo_frac"] < 0.18, l0
+    assert l0["Ut"]["halo_frac"] < 0.12, l0
+    # Monotone shrink vs the 6k in-solver bound (0.25 pinned above).
+    assert l0["A"]["halo_frac"] < 0.25 / 2
