@@ -53,6 +53,17 @@ def _remaining() -> float:
     return max(30.0, BUDGET_S - (time.monotonic() - _T0))
 
 
+def _xla_cache_entries() -> int:
+    """Persistent-XLA-cache entry count -- recorded in the artifact so
+    every timed number states the cache condition it was measured under
+    (VERDICT r4 weak #5: 6x run-to-run cold-build variance is not
+    evidence unless the cache state is known)."""
+    try:
+        return len(os.listdir(os.path.join(CACHE, "xla")))
+    except OSError:
+        return 0
+
+
 def _default_n() -> str:
     # Prefer the 1M north-star headline (BASELINE.md) once its TPU
     # slope artifact exists (the measure queue produces it), or when a
@@ -211,14 +222,14 @@ def run_pcg_iters(hs, b, iters):
     op = hs.levels[0].op
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = g.v_cycle(hs, jnp.zeros_like(r0), r0, cfg)
+    z0 = g.v_cycle(hs, jnp.zeros_like(r0), r0, cfg, x0_zero=True)
     def body(_, st):
         x, r, z, p, rz = st
         ap = g.level_matvec(hs.levels[0], p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        z = g.v_cycle(hs, jnp.zeros_like(r), r, cfg)
+        z = g.v_cycle(hs, jnp.zeros_like(r), r, cfg, x0_zero=True)
         rz2 = jnp.vdot(r, z)
         return x, r, z, z + (rz2 / jnp.maximum(rz, 1e-30)) * p, rz2
     st = jax.lax.fori_loop(0, iters, body,
@@ -244,15 +255,16 @@ sol16 = g.cast_fast_operators(sol, jnp.bfloat16)
 def run_fcg16(h16, hs, b, iters):
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = g.v_cycle(h16, jnp.zeros_like(r0), r0, cfg).astype(b.dtype)
+    z0 = g.v_cycle(h16, jnp.zeros_like(r0), r0, cfg,
+                   x0_zero=True).astype(b.dtype)
     def body(_, st):
         x, r, z, p, rz = st
         ap = g.level_matvec(hs.levels[0], p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
         x = x + alpha * p
         r_new = r - alpha * ap
-        z = g.v_cycle(h16, jnp.zeros_like(r_new), r_new,
-                      cfg).astype(b.dtype)
+        z = g.v_cycle(h16, jnp.zeros_like(r_new), r_new, cfg,
+                      x0_zero=True).astype(b.dtype)
         rz2 = jnp.vdot(r_new, z)
         beta = (rz2 - jnp.vdot(r, z)) / jnp.maximum(rz, 1e-30)
         return x, r_new, z, z + beta * p, rz2
@@ -582,6 +594,7 @@ def _fallback(reason: str) -> None:
 def main():
     # TPU first: it exports its compacted solver, which the CPU baseline
     # then reuses (identical hierarchy, no hours-long CPU JAX rebuild).
+    cache0 = _xla_cache_entries()
     try:
         r = run_tpu(BENCH_N, N1, N2, N3)
         meta = cpu_baseline(BENCH_N)
@@ -639,7 +652,11 @@ def main():
                     "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                  time.gmtime()),
                     "detail": {"slope": r, "cpu": meta, "warm": warm,
-                               "build_exec": bexec, "cpu_build": bcpu}})
+                               "build_exec": bexec, "cpu_build": bcpu,
+                               "xla_cache": {
+                                   "entries_at_start": cache0,
+                                   "entries_at_end": _xla_cache_entries(),
+                                   "cold_start": cache0 == 0}}})
         json.dump(rec, open(RESULTS, "w"), indent=1)
     except Exception as e:  # noqa: BLE001
         print(f"# RESULTS.json write failed: {type(e).__name__}",

@@ -119,7 +119,7 @@ def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
     resnorm = jnp.linalg.norm(r, axis=0) / jnp.maximum(
         jnp.max(jnp.abs(lam)), 1e-12)
     # Multigrid preconditioner: one V-cycle on the whole residual block.
-    w = v_cycle(hs, jnp.zeros_like(r), r, cfg)
+    w = v_cycle(hs, jnp.zeros_like(r), r, cfg, x0_zero=True)
     w = _b_orthonormalize(mass, _project_out(mass, x, w))
     if use_p:
         pb = _project_out(mass, x, p)

@@ -274,23 +274,29 @@ class _MvStub(NamedTuple):
 
 
 def _halo_smooth(lvl: HaloLevel, x, b, iters: int, cfg: MultigridConfig,
-                 mesh: Mesh, axis: str):
+                 mesh: Mesh, axis: str, x0_zero: bool = False):
     mv = functools.partial(halo_matvec, lvl.op, mesh=mesh, axis=axis)
     stub = _MvStub(lvl.op.diag)
     if cfg.smoother == "chebyshev":
-        return chebyshev(stub, x, b, lvl.cheb, cfg.chebyshev_degree, mv=mv)
-    return weighted_jacobi(stub, x, b, iters, cfg.jacobi_omega, mv=mv)
+        return chebyshev(stub, x, b, lvl.cheb, cfg.chebyshev_degree, mv=mv,
+                         x0_zero=x0_zero)
+    return weighted_jacobi(stub, x, b, iters, cfg.jacobi_omega, mv=mv,
+                           x0_zero=x0_zero)
 
 
 def _halo_descend(hs: HaloSolver, li: int, x, b, cfg: MultigridConfig,
-                  mesh: Mesh, axis: str):
+                  mesh: Mesh, axis: str, x0_zero: bool = False):
     lvl = hs.levels[li]
     if li == len(hs.levels) - 1:
         return coarse_solve(hs.coarse_chol, b)
-    x = _halo_smooth(lvl, x, b, cfg.pre_smooth, cfg, mesh, axis)
+    x = _halo_smooth(lvl, x, b, cfg.pre_smooth, cfg, mesh, axis,
+                     x0_zero=x0_zero)
     r = b - halo_matvec(lvl.op, x, mesh, axis)
     rc = halo_matvec(lvl.ut, r, mesh, axis)
-    ec = _halo_descend(hs, li + 1, jnp.zeros_like(rc), rc, cfg, mesh, axis)
+    # Coarse corrections start from zero: skip their pre-smooth's first
+    # matvec AND its halo exchange (A 0 = 0 bit-exactly).
+    ec = _halo_descend(hs, li + 1, jnp.zeros_like(rc), rc, cfg, mesh, axis,
+                       x0_zero=True)
     if li + 1 < len(hs.levels) - 1:
         for _ in range(cfg.cycle_gamma - 1):
             ec = _halo_descend(hs, li + 1, ec, rc, cfg, mesh, axis)
@@ -299,10 +305,10 @@ def _halo_descend(hs: HaloSolver, li: int, x, b, cfg: MultigridConfig,
 
 
 def halo_v_cycle(hs: HaloSolver, x, b, cfg: MultigridConfig, mesh: Mesh,
-                 axis: str = "data"):
+                 axis: str = "data", x0_zero: bool = False):
     """One multigrid cycle with every operator application running a
     halo exchange instead of a full all-gather."""
-    return _halo_descend(hs, 0, x, b, cfg, mesh, axis)
+    return _halo_descend(hs, 0, x, b, cfg, mesh, axis, x0_zero=x0_zero)
 
 
 def halo_solve(hs: HaloSolver, b: jax.Array, cfg: MultigridConfig,
@@ -327,7 +333,8 @@ def halo_solve(hs: HaloSolver, b: jax.Array, cfg: MultigridConfig,
         mv = functools.partial(halo_matvec, op0, mesh=mesh, axis=axis)
 
         def precond(r):
-            return halo_v_cycle(hs, jnp.zeros_like(r), r, cfg, mesh, axis)
+            return halo_v_cycle(hs, jnp.zeros_like(r), r, cfg, mesh,
+                                axis, x0_zero=True)
 
         fn = {"mg_pcg": pcg, "mg_fcg": fcg}[method]
         return fn(op0, bp, precond, tol=cfg.tolerance,

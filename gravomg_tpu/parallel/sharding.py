@@ -313,7 +313,7 @@ def vertex_sharded_cg_step(h: SolverHierarchy, cfg: MultigridConfig,
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = v_cycle(h, jnp.zeros_like(r), r, cfg)
+        z = v_cycle(h, jnp.zeros_like(r), r, cfg, x0_zero=True)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p

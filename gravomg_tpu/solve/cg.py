@@ -132,7 +132,8 @@ def mg_fcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     op = outer.levels[0].op
 
     def precond(r):
-        return v_cycle(h, jnp.zeros_like(r), r, cfg).astype(r.dtype)
+        return v_cycle(h, jnp.zeros_like(r), r, cfg,
+                       x0_zero=True).astype(r.dtype)
 
     return fcg(op, b, precond, tol=cfg.tolerance,
                max_iters=cfg.max_cycles, x0=x0,
@@ -178,7 +179,8 @@ def mg_pcg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     op = outer.levels[0].op
 
     def precond(r):
-        return v_cycle(h, jnp.zeros_like(r), r, cfg).astype(r.dtype)
+        return v_cycle(h, jnp.zeros_like(r), r, cfg,
+                       x0_zero=True).astype(r.dtype)
 
     return pcg(op, b, precond, tol=cfg.tolerance,
                max_iters=cfg.max_cycles, x0=x0,

@@ -18,11 +18,15 @@ from gravomg_tpu.solve.spmv import spmv
 
 def weighted_jacobi(op: EllOperator, x: jax.Array, b: jax.Array,
                     iterations: int, omega: float = 2.0 / 3.0,
-                    mv=None) -> jax.Array:
+                    mv=None, x0_zero: bool = False) -> jax.Array:
     """x <- x + omega D^{-1} (b - A x), ``iterations`` times.
 
     ``mv`` overrides the matvec (e.g. the banded gather-free SpMV);
-    defaults to the ELL gather form.
+    defaults to the ELL gather form.  ``x0_zero=True`` (static) asserts
+    the incoming ``x`` is exactly zero and skips the first iteration's
+    matvec (A 0 = 0 bit-exactly): every coarse level of a V-cycle and
+    every preconditioner application starts from zero, so this saves
+    one full matvec per smoother call on those paths.
     """
     if mv is None:
         mv = lambda y: spmv(op, y)  # noqa: E731
@@ -33,6 +37,9 @@ def weighted_jacobi(op: EllOperator, x: jax.Array, b: jax.Array,
     def body(_, x):
         return x + omega * dinv * (b - mv(x))
 
+    if x0_zero and iterations >= 1:
+        x = omega * dinv * b
+        return jax.lax.fori_loop(0, iterations - 1, body, x)
     return jax.lax.fori_loop(0, iterations, body, x)
 
 
@@ -85,12 +92,17 @@ class ChebyshevParams(NamedTuple):
 
 
 def chebyshev(op: EllOperator, x: jax.Array, b: jax.Array,
-              params: ChebyshevParams, degree: int, mv=None) -> jax.Array:
+              params: ChebyshevParams, degree: int, mv=None,
+              x0_zero: bool = False) -> jax.Array:
     """Chebyshev polynomial smoother of given degree on D^{-1} A.
 
     Standard three-term recurrence over the interval
     [lam_min, lam_max]; equivalent to `degree` matrix applications.
     ``mv`` overrides the matvec (banded gather-free form).
+    ``x0_zero=True`` (static) asserts ``x`` is exactly zero and skips
+    the first matvec (A 0 = 0 bit-exactly) -- the pre-smooth of every
+    coarse V-cycle level and of every preconditioner application
+    starts from zero, so this drops one of ``degree`` matvecs there.
     """
     if mv is None:
         mv = lambda y: spmv(op, y)  # noqa: E731
@@ -102,7 +114,7 @@ def chebyshev(op: EllOperator, x: jax.Array, b: jax.Array,
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    r = dinv * (b - mv(x))
+    r = dinv * b if x0_zero else dinv * (b - mv(x))
     d = r / theta
     x = x + d
 

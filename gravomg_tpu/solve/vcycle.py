@@ -62,14 +62,16 @@ class SolverHierarchy(NamedTuple):
     coarse_chol: jax.Array
 
 
-def _smooth(level: SolverLevel, x, b, iters: int, cfg: MultigridConfig):
+def _smooth(level: SolverLevel, x, b, iters: int, cfg: MultigridConfig,
+            x0_zero: bool = False):
     mv = None
     if level.banded is not None and x.ndim == 1:
         mv = functools.partial(level_matvec, level)
     if cfg.smoother == "chebyshev":
         return chebyshev(level.op, x, b, level.cheb, cfg.chebyshev_degree,
-                         mv=mv)
-    return weighted_jacobi(level.op, x, b, iters, cfg.jacobi_omega, mv=mv)
+                         mv=mv, x0_zero=x0_zero)
+    return weighted_jacobi(level.op, x, b, iters, cfg.jacobi_omega, mv=mv,
+                           x0_zero=x0_zero)
 
 
 def _restrict_level(level: SolverLevel, r: jax.Array,
@@ -93,18 +95,22 @@ def _prolong_level(level: SolverLevel, ec: jax.Array,
 
 
 def _descend(h: SolverHierarchy, lvl: int, x: jax.Array, b: jax.Array,
-             cfg: MultigridConfig, one_d: bool) -> jax.Array:
+             cfg: MultigridConfig, one_d: bool,
+             x0_zero: bool = False) -> jax.Array:
     """One multigrid cycle starting (and ending) at level ``lvl``."""
     level = h.levels[lvl]
     if lvl == len(h.levels) - 1:
         return coarse_solve(h.coarse_chol, b)
-    x = _smooth(level, x, b, cfg.pre_smooth, cfg)
+    x = _smooth(level, x, b, cfg.pre_smooth, cfg, x0_zero=x0_zero)
     if level.banded is not None and one_d:
         r = b - level_matvec(level, x)
     else:
         r = b - spmv(level.op, x)
     rc = _restrict_level(level, r, one_d)
-    ec = _descend(h, lvl + 1, jnp.zeros_like(rc), rc, cfg, one_d)
+    # Coarse corrections always start from zero: x0_zero saves their
+    # pre-smooth's first matvec (A 0 = 0, bit-exact).
+    ec = _descend(h, lvl + 1, jnp.zeros_like(rc), rc, cfg, one_d,
+                  x0_zero=True)
     # gamma-cycle: revisit the coarser level gamma-1 more times,
     # continuing from the previous correction (gamma=2 is the W-cycle).
     # Repeats directly above the coarsest level are skipped -- the
@@ -117,10 +123,14 @@ def _descend(h: SolverHierarchy, lvl: int, x: jax.Array, b: jax.Array,
 
 
 def v_cycle(h: SolverHierarchy, x: jax.Array, b: jax.Array,
-            cfg: MultigridConfig) -> jax.Array:
+            cfg: MultigridConfig, x0_zero: bool = False) -> jax.Array:
     """One cycle on the finest level: V(pre, post) by default,
-    W-cycle and deeper gamma-cycles via ``cfg.cycle_gamma``."""
-    return _descend(h, 0, x, b, cfg, x.ndim == 1)
+    W-cycle and deeper gamma-cycles via ``cfg.cycle_gamma``.
+
+    ``x0_zero=True`` (static) asserts ``x`` is exactly zero -- the
+    preconditioner pattern z = M^{-1} r -- and saves the fine pre-
+    smooth's first matvec (bit-exact; see solve/smoothers.py)."""
+    return _descend(h, 0, x, b, cfg, x.ndim == 1, x0_zero=x0_zero)
 
 
 def fmg(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
@@ -478,8 +488,8 @@ def solve_refined(h: SolverHierarchy, b: jax.Array, cfg: MultigridConfig,
     bnorm = jnp.maximum(jnp.linalg.norm(b64), 1e-300)
 
     def inner(r32):
-        x = jnp.zeros_like(r32)
-        for _ in range(inner_cycles):
+        x = v_cycle(h, jnp.zeros_like(r32), r32, cfg, x0_zero=True)
+        for _ in range(inner_cycles - 1):
             x = v_cycle(h, x, r32, cfg)
         return x
 

@@ -74,6 +74,18 @@ def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
 
+def _xla_cache_entries() -> int:
+    """Persistent-cache entry count: every row records the cache state
+    its cold numbers were measured under (VERDICT r4 weak #5 -- 6x
+    run-to-run cold-build variance is meaningless without it)."""
+    try:
+        return len(os.listdir(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".bench_cache", "xla")))
+    except OSError:
+        return 0
+
+
 def emit(obj):
     line = json.dumps(obj)
     print(line, flush=True)
@@ -387,7 +399,7 @@ if __name__ == "__main__":
         try:
             for line in open(_ARTIFACT):
                 row = json.loads(line)
-                if row.get("config") not in names + ["header"]:
+                if row.get("config") not in names + ["header", "footer"]:
                     carried.append(line.strip())
         except (OSError, ValueError):
             pass
@@ -395,7 +407,8 @@ if __name__ == "__main__":
         open(_ARTIFACT + ".partial", "w").close()
     emit({"config": "header", "device": jax.devices()[0].platform,
           "when": time.strftime("%Y-%m-%d %H:%M:%S"),
-          "budget_s": BUDGET_S})
+          "budget_s": BUDGET_S,
+          "xla_cache_entries": _xla_cache_entries()})
     _ROWS.extend(carried)
     for name in names:
         if _remaining() < 120:
@@ -406,4 +419,7 @@ if __name__ == "__main__":
             ALL[name]()
         except Exception as e:  # noqa: BLE001
             emit({"config": name, "error": f"{type(e).__name__}: {e}"})
+    emit({"config": "footer",
+          "xla_cache_entries_at_end": _xla_cache_entries(),
+          "wall_s": round(time.monotonic() - _T0, 1)})
     finalize_artifact()
