@@ -68,6 +68,19 @@ gc.collect()
 nlev = len(sol.levels)
 print(f"# levels: {[l.op.num_vertices for l in sol.levels]}", flush=True)
 
+# Byte accounting for the roofline: each operator form's dense-window
+# stream per matvec (the dominant HBM term; x/y/diag add ~12B/row).
+for li, lvl in enumerate(sol.levels):
+    def mb(o):
+        if o is None:
+            return None
+        try:
+            return round(o.m_bytes / 1e6, 1)
+        except AttributeError:
+            return round(o.m.size * o.m.dtype.itemsize / 1e6, 1)
+    print(f"# L{li} m_bytes MB: A={mb(lvl.banded)} U={mb(lvl.uw)} "
+          f"Ut={mb(lvl.utw)}", flush=True)
+
 b = jnp.asarray(np.random.default_rng(0).normal(size=N), jnp.float32)
 
 
