@@ -101,18 +101,55 @@ def _rayleigh_ritz(ga: jax.Array, gb: jax.Array,
     return theta[:k], vecs[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k", "use_p"))
-def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
-                 cfg: MultigridConfig, k: int, use_p: bool):
-    """One preconditioned Rayleigh-Ritz step on the block [X, W, (P)].
+def _rayleigh_ritz_host(ga: "np.ndarray", gb: "np.ndarray", k: int):
+    """Host (NumPy/LAPACK, f64) twin of :func:`_rayleigh_ritz`.
 
-    x: (V, k) current M-orthonormal Ritz block; p: (V, k) previous
-    search step.  Returns (x_new, p_new, ritz_values, residual_norms).
+    The dense pencil needs f64: its eigenvalue error is ~eps * ||c||
+    with ||c|| ~ lam_max of the pencil (1e5-1e6 at 100k vertices), so
+    an f32 solve perturbs the low Ritz values by O(0.1-1) -- the
+    measured -5.0 "nullspace" and the 5e-2 block-residual stall.  TPU
+    f64 eigh is emulated and the axon-compiled f64 path produced NaNs
+    (2026-08-21), so the m x m solve runs on the host instead: the
+    LOBPCG driver already syncs every iteration for its early-stop
+    check, and the Grams are ~20 kB.
+    """
+    import numpy as np
+    d, q = np.linalg.eigh(gb)
+    good = d > _RANK_TOL * d.max()
+    dsafe = np.where(good, d, 1.0)
+    wh = q / np.sqrt(dsafe)
+    c = wh.T @ ga @ wh
+    gm = good.astype(c.dtype)
+    c = c * gm[:, None] * gm[None, :] + np.diag(
+        np.where(good, 0.0, _DEGENERATE))
+    theta, y = np.linalg.eigh(c)
+    vecs = wh @ y
+    return theta[:k], vecs[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_p"))
+def _lobpcg_block(hs: SolverHierarchy, lap, mass, x, p,
+                  cfg: MultigridConfig, use_p: bool):
+    """Device half of one LOBPCG step: residual, V-cycle
+    preconditioner, search block S = [X, W, (P)], and the f64 Grams.
+
+    The Grams accumulate in f64 (emulated matmul -- adds and products
+    only): the f32 Gram entries carry ~1e-6 * ||L|| * sqrt(V) rounding,
+    which at 20k+ vertices floors the block residual around 5e-2 and
+    leaves the nullspace Ritz value oscillating at +-0.5 (measured
+    trajectory, 2026-08-21: max_res flat at 5.4-6.1e-2 from iteration
+    60 to 160).  The dense m x m eigensolve happens on the HOST
+    (:func:`_rayleigh_ritz_host`); returns (s, ga, gb, resnorm).
     """
     from gravomg_tpu.solve.spmv import spmv
 
     ax = spmv(lap, x)
-    lam = jnp.sum(x * ax, axis=0)                    # X is M-orthonormal
+    # f64 Rayleigh quotients (X is M-orthonormal): the f32 sum over V
+    # rows is the same Gram-precision floor as the Grams below.
+    with jax.enable_x64():
+        lam = jnp.sum(x.astype(jnp.float64) * ax.astype(jnp.float64),
+                      axis=0)
+    lam = lam.astype(x.dtype)
     r = ax - (mass[:, None] * x) * lam[None, :]
     # Scale-relative residual: the nullspace pair has lam ~ 0, so
     # normalize by the largest Ritz value, not per-column lam.
@@ -128,19 +165,46 @@ def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
     else:
         s = jnp.concatenate([x, w], axis=1)
     as_ = spmv(lap, s)
-    ga = s.T @ as_
-    gb = s.T @ (mass[:, None] * s)
-    theta, y = _rayleigh_ritz(ga, gb, k)
-    # Ritz vectors are gb-orthonormal by construction: use them
-    # directly (a re-orthonormalization would scramble the column <->
-    # eigenvalue correspondence).  Per-step recomputed Grams absorb the
-    # f32 drift.
+    with jax.enable_x64():
+        s64 = s.astype(jnp.float64)
+        ga = s64.T @ as_.astype(jnp.float64)
+        gb = s64.T @ (mass.astype(jnp.float64)[:, None] * s64)
+    return s, ga, gb, resnorm
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lobpcg_update(s, y, k: int):
+    """Device half two: apply the host Ritz rotation.
+
+    Ritz vectors are gb-orthonormal by construction: use them directly
+    (a re-orthonormalization would scramble the column <-> eigenvalue
+    correspondence).  P = the W/P component of the update (classic
+    LOBPCG three-term recurrence): drop X's contribution so P spans
+    the search step."""
     x_new = s @ y
-    # P = the W/P component of the update (classic LOBPCG three-term
-    # recurrence): drop X's contribution so P spans the search step.
     y_tail = y.at[:k].set(0.0)
     p_new = s @ y_tail
-    return x_new, p_new, theta, resnorm
+    return x_new, p_new
+
+
+def _lobpcg_step(hs: SolverHierarchy, lap, mass, x, p,
+                 cfg: MultigridConfig, k: int, use_p: bool):
+    """One preconditioned Rayleigh-Ritz step on the block [X, W, (P)].
+
+    x: (V, k) current M-orthonormal Ritz block; p: (V, k) previous
+    search step.  Returns (x_new, p_new, ritz_values, residual_norms).
+    Device work is jitted (:func:`_lobpcg_block` / :func:`_lobpcg_update`);
+    the m x m dense pencil solves on the host in f64 (see
+    :func:`_rayleigh_ritz_host` -- ~20 kB of Grams per iteration, and
+    the driver loop already syncs each iteration for early stopping).
+    """
+    import numpy as np
+
+    s, ga, gb, resnorm = _lobpcg_block(hs, lap, mass, x, p, cfg, use_p)
+    theta, y = _rayleigh_ritz_host(np.asarray(ga), np.asarray(gb), k)
+    x_new, p_new = _lobpcg_update(
+        s, jnp.asarray(y.astype(np.float32)), k)
+    return x_new, p_new, jnp.asarray(theta.astype(np.float32)), resnorm
 
 
 def spectral_alpha(graph: Graph, weighting: str = "invdist",

@@ -397,10 +397,20 @@ if __name__ == "__main__":
         # Partial run: carry over the committed rows for configs NOT
         # being re-measured, so finalize still writes a complete file.
         try:
+            seen = set()
             for line in open(_ARTIFACT):
                 row = json.loads(line)
-                if row.get("config") not in names + ["header", "footer"]:
-                    carried.append(line.strip())
+                cfg_name = str(row.get("config", ""))
+                # Rows are emitted under long names (c1_sphere5k);
+                # match on the short key so re-measured configs are
+                # dropped instead of duplicated, and dedupe (keep the
+                # first = most recent committed row per config).
+                key = cfg_name.split("_")[0]
+                if (key in names or cfg_name in ("header", "footer")
+                        or cfg_name in seen):
+                    continue
+                seen.add(cfg_name)
+                carried.append(line.strip())
         except (OSError, ValueError):
             pass
     if _ARTIFACT is not None:
